@@ -174,11 +174,12 @@ def _get_pairs(word):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-def build_tokenizer(clip_dir: Optional[str] = None, max_len: int = 32):
+def build_tokenizer(clip_dir: Optional[str] = None, max_len: int = 32,
+                    vocab_size: int = CLIP_VOCAB_SIZE):
     """Prefer real CLIP BPE assets when present; otherwise hash fallback."""
     if clip_dir:
         vj = os.path.join(clip_dir, "vocab.json")
         mt = os.path.join(clip_dir, "merges.txt")
         if os.path.isfile(vj) and os.path.isfile(mt):
             return ClipBPETokenizer(vj, mt, max_len=max_len)
-    return HashWordTokenizer(max_len=max_len)
+    return HashWordTokenizer(vocab_size=vocab_size, max_len=max_len)

@@ -1,0 +1,49 @@
+"""Model construction + parameter initialization.
+
+Equivalent of ``build_model`` (``models/build.py:4-27``): wires the
+config through to :class:`ISubGVQA` and initializes parameters (the
+scene-graph embedding from GloVe/meta vectors when available).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.batching import GraphBatch
+from ..data.vocab import SceneGraphVocab
+from .isubgvqa import ISubGVQA
+
+
+def build_model(cfg: Config, vocab: SceneGraphVocab,
+                bn_axis_name: Optional[str] = None) -> ISubGVQA:
+    return ISubGVQA(
+        cfg=cfg,
+        sg_vocab_size=len(vocab),
+        sg_vocab_vectors=vocab.vectors,
+        bn_axis_name=bn_axis_name,
+    )
+
+
+def init_model(model: ISubGVQA, batch: GraphBatch, seed: int = 3407,
+               aimle_states: Optional[dict] = None):
+    """Initialize params + batch_stats with a sample batch."""
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+            "sampler": jax.random.PRNGKey(seed + 2)}
+    variables = model.init(rngs, batch, train=False,
+                           aimle_states=aimle_states)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def make_aimle_states(cfg: Config):
+    """One AIMLE state per masked layer (threshold != 1.0), or None."""
+    if cfg.sampler_type != "aimle":
+        return None
+    from ..sampling import init_aimle_state
+
+    return {i: init_aimle_state()
+            for i, t in enumerate(cfg.mgat_masks) if float(t) != 1.0}

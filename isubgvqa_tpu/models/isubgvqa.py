@@ -1,0 +1,136 @@
+"""The top ISubGVQA model.
+
+Equivalent of ``ISubGVQA`` (``models/isubgvqa.py:17-297``): question
+encoding, optional differentiable text-token sampling, program decoding
+into instruction vectors, scene-graph encoding, masked-GAT message
+passing, question-conditioned pooling, and the fusion classifier over
+the 1842 GQA short answers.
+
+Documented deviation from the reference: ``isubgvqa.py:244-246``
+flattens the ``[n_instr, B, D]`` instruction tensor with a raw
+``.view(B, n_instr, D)`` — a memory reinterpretation that scrambles
+instruction vectors **across batch samples** whenever ``B != n_instr``
+(at the reference's eval batch size 1 it is a no-op, so published
+metrics reflect the unscrambled semantics).  Cross-sample leakage is
+also unimplementable under SPMD sharding; we use the proper transpose.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..config import Config
+from ..data.batching import GraphBatch
+from ..sampling import SimpleConfig, simple_sample
+from .layers import MLP
+from .mgat import MGAT
+from .pooling import GlobalAttentionPooling
+from .question_decoder import QuestionDecoder
+from .question_encoder import QuestionEncoder
+from .scene_graph_encoder import SceneGraphEncoder
+
+
+class ModelOutput(struct.PyTreeNode):
+    """Mirrors the reference forward's 5-tuple (``isubgvqa.py:297``)."""
+
+    logits: jax.Array                       # [B, num_answers]
+    node_mask: Optional[jax.Array]          # [N_pad, 1] last-layer mask
+    gate: Optional[jax.Array]               # [N_pad, 1] pooling attention
+    node_logits_layers: tuple               # always empty (mgat.py:125,179)
+    mask_text: Optional[jax.Array]          # [B, L] text-sampling mask
+
+
+class ISubGVQA(nn.Module):
+    cfg: Config
+    sg_vocab_size: int = 2000
+    sg_vocab_vectors: Optional[object] = None
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False,
+                 aimle_states: Optional[dict] = None) -> ModelOutput:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+        hid = cfg.general_hidden_dim            # 300
+        tdim = cfg.text_emb_dim                 # 512
+
+        # ---- question encoding (isubgvqa.py:228)
+        enc = QuestionEncoder(
+            dim=tdim, num_heads=cfg.num_heads, ffn_dim=4 * 512,
+            num_layers=cfg.encoder_layers, dropout=cfg.dropout,
+            vocab_size=cfg.text_vocab_size, dtype=dtype,
+            name="question_encoder",
+        )(batch.qst_tokens, batch.qst_mask, deterministic=not train)
+
+        # ---- optional text sampling (isubgvqa.py:229-241)
+        mask_text = None
+        if cfg.text_sampling:
+            keys = MLP((tdim,), dtype=dtype, name="qsts_att_keys")(enc)
+            queries = MLP((tdim,), dtype=dtype, name="qsts_att_query")(enc)
+            # logits[b, i] = Σ_j keys[b,i]·queries[b,j] / sqrt(D)
+            logits = jnp.einsum("bid,bjd->bi", keys, queries,
+                                preferred_element_type=jnp.float32)
+            logits = logits / math.sqrt(enc.shape[-1])
+            mask_text = simple_sample(
+                logits.astype(jnp.float32), self.make_rng("sampler"),
+                SimpleConfig(k=cfg.mgat_layers), train=train,
+            )[0][0]                                  # [B, L]
+            enc = enc * mask_text[:, :, None].astype(enc.dtype)
+
+        # ---- program decoding (isubgvqa.py:243)
+        qst_feats = QuestionDecoder(
+            n_instructions=cfg.mgat_layers, dim=tdim, num_heads=cfg.num_heads,
+            ffn_dim=4 * 512, num_layers=cfg.decoder_layers,
+            dropout=cfg.dropout, dtype=dtype, name="program_decoder",
+        )(enc, deterministic=not train)             # [B, n_instr, 512]
+
+        # global language feature (isubgvqa.py:244-247; see module doc)
+        flat = qst_feats.reshape(qst_feats.shape[0], -1)
+        lang = MLP((hid,), dtype=dtype, name="qsts_reduction")(flat)  # [B,300]
+        instr = MLP((hid,), dtype=dtype, name="instr_reduction")(qst_feats)
+
+        # ---- scene graph encoding (isubgvqa.py:255-263)
+        x_enc, e_enc = SceneGraphEncoder(
+            sg_vocab_size=self.sg_vocab_size, hidden_dim=hid,
+            vocab_vectors=self.sg_vocab_vectors,
+            bn_axis_name=self.bn_axis_name, dtype=dtype,
+            name="scene_graph_encoder",
+        )(batch, deterministic=not train)
+
+        # ---- masked GAT stack (isubgvqa.py:267-278)
+        x_mgat, imle_mask, node_masks, edge_attns = MGAT(
+            channels=hid, num_ins=cfg.mgat_layers, heads=cfg.gat_heads,
+            masking_thresholds=cfg.mgat_masks, use_instr=cfg.use_instruction,
+            use_topk=cfg.use_topk, interpretable_mode=cfg.interpretable_mode,
+            concat_instr=cfg.concat_instr, use_all_instrs=cfg.use_all_instrs,
+            use_global_mask=cfg.use_global_mask, sampler_type=cfg.sampler_type,
+            sample_k=cfg.sample_k, nb_samples=cfg.nb_samples, alpha=cfg.alpha,
+            beta=cfg.beta, tau=cfg.tau, dtype=dtype, name="gat_seq",
+        )(x_enc, batch, e_enc, instr, lang, train=train,
+          aimle_states=aimle_states)
+
+        # ---- pooling + fusion classifier (isubgvqa.py:280-292)
+        pooled, gate = GlobalAttentionPooling(
+            num_node_features=hid, num_out_features=hid, dtype=dtype,
+            name="graph_global_attention_pooling",
+        )(x_mgat, lang, batch, node_mask=imle_mask)
+
+        fused = jnp.concatenate([pooled, lang, pooled * lang], axis=1)
+        fused = nn.Dense(512, dtype=dtype, name="embedding")(fused)
+        fused = nn.gelu(fused)
+        fused = nn.Dropout(0.2)(fused, deterministic=not train)
+        logits = nn.Dense(cfg.num_answers, dtype=dtype, name="logit_fc")(fused)
+
+        return ModelOutput(
+            logits=logits.astype(jnp.float32),
+            node_mask=imle_mask,
+            gate=gate,
+            node_logits_layers=(),
+            mask_text=mask_text,
+        )

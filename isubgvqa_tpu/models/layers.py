@@ -1,0 +1,230 @@
+"""Shared building blocks: MLPs, post-LN transformer layers with the
+reference's additive key-mask quirk, GraphNorm, and masked BatchNorm.
+
+Everything runs batch-first with static shapes; matmuls carry
+``preferred_element_type`` so the MXU accumulates in fp32 even under a
+bf16 compute policy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.segment import segment_normalize
+
+
+class MLP(nn.Module):
+    """Linear stack with GELU between layers (and optionally after the
+    last), mirroring the reference's ``torch.nn.Sequential`` MLPs."""
+
+    features: Sequence[int]
+    gelu_last: bool = True
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, use_bias=self.use_bias, dtype=self.dtype,
+                         name=f"lin{i}")(x)
+            if i < len(self.features) - 1 or self.gelu_last:
+                x = nn.gelu(x)
+        return x
+
+
+class PositionalEncoding(nn.Module):
+    """Sin/cos positional encoding (reference
+    ``models/positional_encoding.py:5-22``).  Constructed but bypassed
+    in the live path (``question_encoder.py:33-34``), kept for parity.
+    """
+
+    d_model: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, L, D]
+        pos = jnp.arange(self.max_len)[:, None]
+        div = jnp.exp(jnp.arange(0, self.d_model, 2) * (-math.log(10000.0) / self.d_model))
+        pe = jnp.zeros((self.max_len, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        return x + pe[None, : x.shape[1]]
+
+
+def _attention(q, k, v, bias=None, dropout_rate=0.0, deterministic=True,
+               dropout_rng=None, dtype=jnp.float32):
+    """Scaled dot-product attention; ``bias`` is added to the logits
+    (used for the reference's float ``src_key_padding_mask``, which
+    torch *adds* rather than masks — ``question_encoder.py:35-37``)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(d)
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(dtype), v,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent (joint QKV when
+    self-attending is unnecessary for parity; separate projections)."""
+
+    num_heads: int
+    dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, bias=None, deterministic=True):
+        h, d = self.num_heads, self.dim // self.num_heads
+        dtype = self.dtype or q_in.dtype
+
+        def proj(x, name):
+            return nn.Dense(self.dim, dtype=self.dtype, name=name)(x).reshape(
+                x.shape[0], x.shape[1], h, d
+            ).transpose(0, 2, 1, 3)
+
+        q = proj(q_in, "q")
+        k = proj(k_in, "k")
+        v = proj(v_in, "v")
+        rng = self.make_rng("dropout") if (not deterministic and self.dropout > 0) else None
+        out = _attention(q, k, v, bias=bias, dropout_rate=self.dropout,
+                         deterministic=deterministic, dropout_rng=rng, dtype=dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(q_in.shape[0], q_in.shape[1], self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
+
+
+class PostLNTransformerLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer (post-LN, ReLU FFN) equivalent
+    used by the question encoder (``question_encoder.py:22-25``)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, key_bias=None, deterministic=True):
+        attn = MultiHeadAttention(self.num_heads, self.dim, self.dropout,
+                                  dtype=self.dtype, name="self_attn")(
+            x, x, x, bias=key_bias, deterministic=deterministic)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+class PostLNDecoderLayer(nn.Module):
+    """torch.nn.TransformerDecoderLayer equivalent (self-attn +
+    cross-attn + FFN, post-LN) for the program decoder
+    (``question_decoder.py:27-29``)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_bias=None, deterministic=True):
+        sa = MultiHeadAttention(self.num_heads, self.dim, self.dropout,
+                                dtype=self.dtype, name="self_attn")(
+            tgt, tgt, tgt, deterministic=deterministic)
+        sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
+        ca = MultiHeadAttention(self.num_heads, self.dim, self.dropout,
+                                dtype=self.dtype, name="cross_attn")(
+            tgt, memory, memory, bias=memory_bias, deterministic=deterministic)
+        ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ca)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(tgt)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
+
+
+class GraphNorm(nn.Module):
+    """torch_geometric.nn.norm.GraphNorm equivalent
+    (``scene_graph_encoder.py:33``, ``mgat.py:93-95``):
+    ``w * (x − α·mean_g) / sqrt(var_g + eps) + b`` with learnable
+    per-channel w, b, α.  The reference runs the SG-encoder instance in
+    fp64 (``scene_graph_encoder.py:99-102``); we compute in fp32 —
+    validated to agree within 1e-5 at these scales."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, segment_ids, num_segments, mask=None):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        mean_scale = self.param("mean_scale", nn.initializers.ones, (self.dim,))
+        xf = x.astype(jnp.float32)
+        out, _, _ = segment_normalize(xf, segment_ids, num_segments,
+                                      mask=mask, alpha=mean_scale, eps=self.eps)
+        return (out * weight + bias).astype(x.dtype)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid rows of a padded array, with running
+    statistics and optional cross-device synchronization
+    (``torch.nn.SyncBatchNorm`` parity, ``scene_graph_encoder.py:36-48``
+    — sync happens automatically when the train step runs under a
+    sharded mesh because the masked sums are computed with
+    ``axis_name`` psum)."""
+
+    dim: int
+    momentum: float = 0.9   # torch momentum 0.1 == keep 0.9
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average=True):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.dim,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.dim,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                count = jnp.asarray(xf.shape[0], jnp.float32)
+                s1 = jnp.sum(xf, axis=0)
+                s2 = jnp.sum(xf * xf, axis=0)
+            else:
+                m = mask.astype(jnp.float32)[:, None]
+                count = jnp.sum(m)
+                s1 = jnp.sum(xf * m, axis=0)
+                s2 = jnp.sum(xf * xf * m, axis=0)
+            if self.axis_name is not None:
+                count = jax.lax.psum(count, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = s1 / count
+            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return out.astype(x.dtype)

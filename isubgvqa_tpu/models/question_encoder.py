@@ -1,0 +1,69 @@
+"""Question encoder: CLIP-style text embedding + 4-layer transformer.
+
+Equivalent of the reference's ``QuestionEncoder``
+(``models/question_encoder.py:6-38``) fed by a deep copy of CLIP's text
+embeddings (``isubgvqa.py:119-121`` — token table + learned positional
+table; CLIP weights are loaded when available, else trained from
+random init).
+
+Reference quirk reproduced: torch's ``src_key_padding_mask`` is passed
+as a *float* (``question_encoder.py:36``), which torch treats as an
+additive attention bias — so real tokens get +1 on their key logits
+and padding is **not** masked out.  We add the same bias.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import PositionalEncoding, PostLNTransformerLayer
+
+
+class TextEmbedding(nn.Module):
+    """CLIPTextEmbeddings equivalent: token + learned position tables."""
+
+    vocab_size: int = 49408
+    dim: int = 512
+    max_positions: int = 77
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, ids):  # [B, L] -> [B, L, D]
+        tok = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
+                       name="token_embedding")(ids)
+        pos = nn.Embed(self.max_positions, self.dim, dtype=self.dtype,
+                       name="position_embedding")(jnp.arange(ids.shape[1]))
+        return tok + pos[None]
+
+
+class QuestionEncoder(nn.Module):
+    """4-layer post-LN transformer encoder, d=512, 8 heads, ffn 2048,
+    final LayerNorm (``isubgvqa.py:126-134``,
+    ``question_encoder.py:22-25``)."""
+
+    dim: int = 512
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    num_layers: int = 4
+    dropout: float = 0.1
+    vocab_size: int = 49408
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, ids, attn_mask, deterministic=True):
+        """ids [B, L], attn_mask [B, L] (1 = real) -> encoded [B, L, D]."""
+        x = TextEmbedding(self.vocab_size, self.dim, dtype=self.dtype,
+                          name="text_vocab_embedding")(ids)
+        # emb_proj + PositionalEncoding exist in the reference but are
+        # bypassed in its live path (question_encoder.py:33-34); omitted.
+        # float key-padding mask is ADDED to logits (see module doc)
+        key_bias = attn_mask.astype(jnp.float32)[:, None, None, :]
+        for i in range(self.num_layers):
+            x = PostLNTransformerLayer(self.dim, self.num_heads, self.ffn_dim,
+                                       self.dropout, dtype=self.dtype,
+                                       name=f"layer{i}")(
+                x, key_bias=key_bias, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)

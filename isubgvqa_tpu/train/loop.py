@@ -1,0 +1,150 @@
+"""Epoch-level training loop.
+
+Equivalent of ``train`` (``training/train_loop.py:14-132``) +
+``train_epoch`` / ``validate_epoch``: pre-eval / eval-only
+short-circuit, per-epoch train + validation with meters, and the
+three-checkpoint policy.  The reference's explicit ``dist.barrier()`` /
+``cuda.synchronize()`` pairs (``train_loop.py:55-82``) have no
+equivalent — SPMD program order is the barrier.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.batching import iterate_batches
+from ..data.build import DataBundle
+from ..parallel.mesh import is_main_process, make_mesh, shard_batch, replicate
+from .checkpoint import CheckpointManager
+from .metrics import AverageMeter, ProgressMeter, StepTimer
+from .schedule import make_optimizer
+from .state import TrainState, create_train_state
+from .steps import make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model, data: DataBundle,
+                 mesh=None, state: Optional[TrainState] = None):
+        self.cfg = cfg
+        self.model = model
+        self.data = data
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_data_shards)
+        self.num_shards = 1  # per-host sharding handled by mesh device_put
+
+        steps_per_epoch = max(
+            len(data.datasets["train"]) // max(cfg.batch_size, 1), 1)
+        self.optimizer = make_optimizer(
+            cfg.lr, steps_per_epoch, cfg.warmup_epochs, cfg.warmup_start_lr,
+            cfg.lr_gamma, cfg.grad_clip_norm)
+
+        if state is None:
+            sample_batch, _ = next(iterate_batches(
+                data.datasets["train"], data.collators["train"]))
+            state = create_train_state(self.model, self.optimizer,
+                                       sample_batch, cfg)
+        self.state = replicate(state, self.mesh)
+
+        donate = (0,) if cfg.donate_state else ()
+        self.train_step = jax.jit(make_train_step(self.model, self.optimizer, cfg),
+                                  donate_argnums=donate)
+        self.eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self.ckpt = CheckpointManager(cfg.output_dir)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------ epochs
+
+    def train_epoch(self, epoch: int) -> float:
+        cfg = self.cfg
+        ds = self.data.datasets["train"]
+        coll = self.data.collators["train"]
+        batches = iterate_batches(ds, coll, shuffle=True,
+                                  seed=cfg.seed + epoch, drop_last=True)
+        n_batches = len(ds) // cfg.batch_size
+
+        batch_time = AverageMeter("Time", ":4.2f")
+        data_time = AverageMeter("Data", ":4.2f")
+        losses = AverageMeter("Loss", ":.2e")
+        ans_short = AverageMeter("Acc@Short-MGat", ":4.2f")
+        progress = ProgressMeter(
+            n_batches, [batch_time, data_time, losses, ans_short],
+            prefix=f"Epoch: [{epoch}]")
+        timer = StepTimer()
+
+        for i, (batch, meta) in enumerate(batches):
+            data_time.update(timer.lap())
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            metrics = jax.device_get(metrics)
+            count = max(float(metrics["count"]), 1.0)
+            loss = float(metrics["loss_sum"]) / count
+            acc = float(metrics["correct"]) / count * 100.0
+            if np.isfinite(loss):                     # train_epoch.py:123-126
+                losses.update(loss, count)
+            else:
+                logger.info("loss is %s", loss)
+            ans_short.update(acc, count)
+            batch_time.update(timer.lap())
+            if is_main_process() and (i % cfg.print_freq == 0
+                                      or i == n_batches - 1):
+                progress.display(i)
+        if is_main_process():
+            progress.display(n_batches)
+        return losses.avg
+
+    def validate_epoch(self, epoch: int, split: str = "dev"):
+        cfg = self.cfg
+        ds = self.data.datasets[split]
+        coll = self.data.collators[split]
+        loss_sum = correct = count = 0.0
+        self.rng, eval_rng = jax.random.split(self.rng)
+        for batch, meta in iterate_batches(ds, coll, drop_last=False):
+            batch = shard_batch(batch, self.mesh)
+            m = jax.device_get(self.eval_step(self.state, batch, eval_rng))
+            loss_sum += float(m["loss_sum"])
+            correct += float(m["correct"])
+            count += float(m["count"])
+        count = max(count, 1.0)
+        acc = correct / count * 100.0
+        loss = loss_sum / count
+        if is_main_process():
+            msg = f"Val epoch [{epoch}] {split}: Acc@Short {acc:4.2f} Loss {loss:.2e}"
+            print(msg, flush=True)
+            logger.info(msg)
+        return acc, loss
+
+    # ------------------------------------------------------------ driver
+
+    def fit(self) -> float:
+        """train_loop.py:40-132."""
+        cfg = self.cfg
+        if cfg.evaluate or cfg.pre_eval:
+            self.validate_epoch(-1)
+            if cfg.evaluate:
+                return 0.0
+        top_accuracy = 0.0
+        loss_lowest = float(sys.maxsize)
+        for epoch in range(cfg.start_epoch, cfg.epochs):
+            self.train_epoch(epoch)
+            val_acc, val_loss = self.validate_epoch(epoch)
+            loss_lowest, top_accuracy = self.ckpt.save_policy(
+                self.state, epoch, cfg, val_loss, val_acc,
+                loss_lowest, top_accuracy)
+            if is_main_process():
+                print(f"Top validation accuracy so far was {top_accuracy}",
+                      flush=True)
+        return top_accuracy
+
+    def resume(self, path: str):
+        """main.py:124-139 (config comes from the checkpoint meta)."""
+        state, start_epoch, ckpt_cfg = self.ckpt.restore(
+            path, jax.device_get(self.state))
+        self.state = replicate(state, self.mesh)
+        return start_epoch, ckpt_cfg
