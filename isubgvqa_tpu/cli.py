@@ -120,6 +120,9 @@ def main(argv=None) -> None:
     from .train.loop import Trainer
 
     data = build_datasets(cfg)
+    # classifier width must match the answer map actually loaded
+    # (1842 with the GQA meta assets; isubgvqa.py:207)
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
     model = build_model(cfg, data.vocab, bn_axis_name=None)
 
     trainer = Trainer(cfg, model, data)

@@ -7,7 +7,10 @@ module).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox exports JAX_PLATFORMS=axon (the TPU tunnel) and may
+# pre-import jax, so a plain env default is not enough — override both
+# the env var and the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,7 +21,10 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 simulated CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
