@@ -21,7 +21,8 @@ import numpy as np
 BASELINE_QPS = 10_000.0
 
 
-def build_bench_setup(batch_size: int = 256, compute_dtype: str = "bfloat16"):
+def build_bench_setup(batch_size: int = 256, compute_dtype: str = "bfloat16",
+                      num_batches: int = 4):
     from isubgvqa_tpu.config import Config
     from isubgvqa_tpu.data import (AnswerMap, BucketSpec, Collator,
                                    HashWordTokenizer, SceneGraphVocab,
@@ -35,17 +36,15 @@ def build_bench_setup(batch_size: int = 256, compute_dtype: str = "bfloat16"):
         sample_k=3,
         question_len=32,
         max_nodes_per_graph=64,
-        nodes_per_graph_budget=28,
-        edges_per_graph_budget=120,
+        max_edges_per_graph=192,
     )
     vocab = SceneGraphVocab.build(cfg.meta_dir, seed=cfg.seed)
     answers = AnswerMap.build(cfg.meta_dir, cfg.num_answers)
-    ds = SyntheticGQA(vocab, answers, size=batch_size * 4, seed=0)
+    ds = SyntheticGQA(vocab, answers, size=batch_size * num_batches, seed=0)
     spec = BucketSpec(
         batch_size=batch_size,
-        nodes_per_graph_budget=cfg.nodes_per_graph_budget,
-        edges_per_graph_budget=cfg.edges_per_graph_budget,
         max_nodes_per_graph=cfg.max_nodes_per_graph,
+        max_edges_per_graph=cfg.max_edges_per_graph,
         question_len=cfg.question_len,
     )
     tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
@@ -54,7 +53,7 @@ def build_bench_setup(batch_size: int = 256, compute_dtype: str = "bfloat16"):
     batches = [
         coll.collate([ds[i] for i in range(b * batch_size,
                                            (b + 1) * batch_size)])[0]
-        for b in range(4)
+        for b in range(num_batches)
     ]
     import dataclasses
 
@@ -65,9 +64,18 @@ def build_bench_setup(batch_size: int = 256, compute_dtype: str = "bfloat16"):
 
 
 def main():
+    # NOTE on methodology: the dev-sandbox TPU tunnel deduplicates
+    # repeated executions with identical inputs, so the benchmark
+    # streams *distinct* batches (as real serving would) and only the
+    # warmup batch repeats.
     batch_size = 256
-    model, params, batch_stats, batches, cfg = build_bench_setup(batch_size)
-    batches = jax.device_put(batches)
+    iters = 24
+    model, params, batch_stats, batches, cfg = build_bench_setup(
+        batch_size, num_batches=iters)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    batch_stats = jax.device_put(batch_stats, dev)
+    batches = jax.device_put(batches, dev)
 
     @jax.jit
     def forward(params, batch, key):
@@ -78,14 +86,9 @@ def main():
     key = jax.random.PRNGKey(0)
     # compile + warmup
     jax.block_until_ready(forward(params, batches[0], key))
-    for b in batches:
-        jax.block_until_ready(forward(params, b, key))
 
-    iters = 40
     t0 = time.perf_counter()
-    outs = None
-    for i in range(iters):
-        outs = forward(params, batches[i % len(batches)], key)
+    outs = [forward(params, batches[i], key) for i in range(iters)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 

@@ -54,9 +54,8 @@ class Config:
     clip_tokenizer_dir: Optional[str] = None  # optional CLIP vocab.json/merges.txt
     text_vocab_size: int = 49408            # CLIP vocab size
     question_len: int = 32                  # static padded question length
-    max_nodes_per_graph: int = 128          # dense per-graph cap (static)
-    nodes_per_graph_budget: int = 40        # flat padding: N_pad = B * budget
-    edges_per_graph_budget: int = 130       # flat padding: E_pad = B * budget
+    max_nodes_per_graph: int = 128          # dense per-graph node cap (static)
+    max_edges_per_graph: int = 384          # dense per-graph edge cap (static)
     synthetic: bool = False                 # use the synthetic mini-GQA fixture
     synthetic_size: int = 2048
 

@@ -68,9 +68,8 @@ def build_datasets(cfg: Config) -> DataBundle:
     def spec(bs: int) -> BucketSpec:
         return BucketSpec(
             batch_size=bs,
-            nodes_per_graph_budget=cfg.nodes_per_graph_budget,
-            edges_per_graph_budget=cfg.edges_per_graph_budget,
             max_nodes_per_graph=cfg.max_nodes_per_graph,
+            max_edges_per_graph=cfg.max_edges_per_graph,
             question_len=cfg.question_len,
         )
 

@@ -90,10 +90,9 @@ def run_token_coo_exp(
         out = forward(state, batch, eval_rng)
         logits = np.asarray(out.logits)
         preds = logits.argmax(-1)
-        node_mask = (np.asarray(out.node_mask)[:, 0]
+        node_mask = (np.asarray(out.node_mask)[..., 0]
                      if out.node_mask is not None
-                     else np.ones(batch.node_tokens.shape[0]))
-        node_graph = np.asarray(batch.node_graph)
+                     else np.ones(batch.node_tokens.shape[:2]))  # [B, N]
         node_valid = np.asarray(batch.node_mask)
         mask_text = (np.asarray(out.mask_text)
                      if out.mask_text is not None else None)
@@ -106,10 +105,10 @@ def run_token_coo_exp(
             answer_str = label2ans[int(preds[s])]
             question_raw = meta.questions[s]
 
-            sel = (node_graph == s) & node_valid
-            mask_s = node_mask[sel]
+            sel = node_valid[s]
+            mask_s = node_mask[s][sel]
             node_labels = [vocab.itos[t] for t in
-                           np.asarray(batch.node_tokens)[sel, 0]]
+                           np.asarray(batch.node_tokens)[s][sel, 0]]
 
             text_expl = None
             if mask_text is not None:

@@ -7,7 +7,7 @@ from .question_encoder import TextEmbedding, QuestionEncoder
 from .question_decoder import QuestionDecoder
 from .scene_graph_encoder import SceneGraphEncoder
 from .masking import MaskingModel
-from .mgat import MGAT, MaskingGATv2Conv
+from .mgat import MGAT, MGATLayer
 from .pooling import GlobalAttentionPooling
 from .isubgvqa import ISubGVQA, ModelOutput
 from .build import build_model
@@ -23,7 +23,7 @@ __all__ = [
     "SceneGraphEncoder",
     "MaskingModel",
     "MGAT",
-    "MaskingGATv2Conv",
+    "MGATLayer",
     "GlobalAttentionPooling",
     "ISubGVQA",
     "ModelOutput",

@@ -29,13 +29,31 @@ def build_model(cfg: Config, vocab: SceneGraphVocab,
 
 
 def init_model(model: ISubGVQA, batch: GraphBatch, seed: int = 3407,
-               aimle_states: Optional[dict] = None):
-    """Initialize params + batch_stats with a sample batch."""
+               aimle_states: Optional[dict] = None, on_cpu: bool = True):
+    """Initialize params + batch_stats with a sample batch.
+
+    Initialization runs on the host CPU backend by default — compiling
+    the init program through the TPU tunnel takes minutes and wins
+    nothing (init is one-shot, bandwidth-trivial); the resulting
+    pytrees transfer to the accelerator on first use.
+    """
     rngs = {"params": jax.random.PRNGKey(seed),
             "dropout": jax.random.PRNGKey(seed + 1),
             "sampler": jax.random.PRNGKey(seed + 2)}
-    variables = model.init(rngs, batch, train=False,
-                           aimle_states=aimle_states)
+    cpu = None
+    if on_cpu:
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            batch_cpu = jax.device_put(batch, cpu)
+            variables = model.init(rngs, batch_cpu, train=False,
+                                   aimle_states=aimle_states)
+    else:
+        variables = model.init(rngs, batch, train=False,
+                               aimle_states=aimle_states)
     return variables["params"], variables.get("batch_stats", {})
 
 

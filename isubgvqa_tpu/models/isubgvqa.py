@@ -111,7 +111,8 @@ class ISubGVQA(nn.Module):
             concat_instr=cfg.concat_instr, use_all_instrs=cfg.use_all_instrs,
             use_global_mask=cfg.use_global_mask, sampler_type=cfg.sampler_type,
             sample_k=cfg.sample_k, nb_samples=cfg.nb_samples, alpha=cfg.alpha,
-            beta=cfg.beta, tau=cfg.tau, dtype=dtype, name="gat_seq",
+            beta=cfg.beta, tau=cfg.tau, use_pallas=cfg.use_pallas,
+            dtype=dtype, name="gat_seq",
         )(x_enc, batch, e_enc, instr, lang, train=train,
           aimle_states=aimle_states)
 

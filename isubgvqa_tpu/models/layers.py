@@ -15,8 +15,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.segment import segment_normalize
-
 
 class MLP(nn.Module):
     """Linear stack with GELU between layers (and optionally after the
@@ -163,22 +161,23 @@ class GraphNorm(nn.Module):
     """torch_geometric.nn.norm.GraphNorm equivalent
     (``scene_graph_encoder.py:33``, ``mgat.py:93-95``):
     ``w * (x − α·mean_g) / sqrt(var_g + eps) + b`` with learnable
-    per-channel w, b, α.  The reference runs the SG-encoder instance in
-    fp64 (``scene_graph_encoder.py:99-102``); we compute in fp32 —
+    per-channel w, b, α, over the dense ``[B, N, C]`` node layout.
+    The reference runs the SG-encoder instance in fp64
+    (``scene_graph_encoder.py:99-102``); we compute in fp32 —
     validated to agree within 1e-5 at these scales."""
 
     dim: int
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, segment_ids, num_segments, mask=None):
+    def __call__(self, x, node_mask):
+        from ..ops.dense_graph import graph_norm_dense
+
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         mean_scale = self.param("mean_scale", nn.initializers.ones, (self.dim,))
-        xf = x.astype(jnp.float32)
-        out, _, _ = segment_normalize(xf, segment_ids, num_segments,
-                                      mask=mask, alpha=mean_scale, eps=self.eps)
-        return (out * weight + bias).astype(x.dtype)
+        return graph_norm_dense(x, node_mask, weight, bias, mean_scale,
+                                self.eps)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -196,6 +195,8 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average=True):
+        """``x [..., C]`` normalized over all leading axes; ``mask``
+        matches the leading axes."""
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((self.dim,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -203,7 +204,7 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
 
-        xf = x.astype(jnp.float32)
+        xf = x.astype(jnp.float32).reshape(-1, self.dim)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -212,7 +213,7 @@ class MaskedBatchNorm(nn.Module):
                 s1 = jnp.sum(xf, axis=0)
                 s2 = jnp.sum(xf * xf, axis=0)
             else:
-                m = mask.astype(jnp.float32)[:, None]
+                m = mask.astype(jnp.float32).reshape(-1)[:, None]
                 count = jnp.sum(m)
                 s1 = jnp.sum(xf * m, axis=0)
                 s2 = jnp.sum(xf * xf * m, axis=0)
@@ -227,4 +228,4 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return out.astype(x.dtype)
+        return out.reshape(x.shape).astype(x.dtype)

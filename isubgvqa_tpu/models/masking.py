@@ -5,17 +5,19 @@ Equivalent of ``MaskingModel`` (``models/masking.py:23-199``):
 
 * gate score = bilinear(node_nn(x), ques_nn(u)) / sqrt(d) + GELU
   (``masking.py:151-155``) or, with ``use_all_instrs``, softmax
-  attention of all instruction vectors over the dense node batch
+  attention of all instruction vectors over the node batch
   (``:141-149``);
-* top-k path: dropout(0.2) -> dense ``[B, N_max]`` view (zero-filled,
-  like ``to_dense_batch`` — padding slots deliberately compete in the
-  top-k, reference behavior) -> sampler -> flatten (``:158-176``);
+* top-k path: dropout(0.2) -> sampler over the ``[B, N_max]`` scores
+  (``:158-176``).  The dense layout *is* ``to_dense_batch``'s output;
+  padding slots carry score 0 and deliberately compete in the top-k —
+  exactly the reference's zero-fill semantics;
 * non-top-k path: dropout -> sigmoid -> hard ``> 0.5`` threshold with
   no straight-through gradient (``:195-198``), reproduced.
 
 Sampler configs mirror ``get_imle_samplers`` / ``get_aimle_samplers``
 (``masking.py:214-283``): Gumbel(0, 0.3) noise, train/val variants.
-AIMLE's adaptive state enters and leaves explicitly.
+AIMLE's adaptive state enters explicitly; its update leaves through
+the state input's cotangent.
 """
 
 from __future__ import annotations
@@ -28,7 +30,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.batching import GraphBatch
-from ..ops.dense import from_dense_batch, to_dense_batch
 from ..sampling import (
     AIMLEConfig,
     AIMLEState,
@@ -82,40 +83,39 @@ class MaskingModel(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,                     # [N_pad, dim_nodes]
-        u: jax.Array,                     # [N_pad, dim_questions] (per-node)
+        x: jax.Array,                     # [B, N, dim_nodes]
+        u: jax.Array,                     # [B, dim_questions]
         batch: GraphBatch,
         train: bool = False,
         aimle_state: Optional[AIMLEState] = None,
         use_all_instrs: bool = False,
         all_instrs: Optional[jax.Array] = None,   # [B, n_instr, dim_q]
     ):
-        """-> (gate [N_pad, 1], new_aimle_state | None)."""
+        """-> (gate [B, N, 1], new_aimle_state | None)."""
         xq = MLP((self.dim_questions,), dtype=self.dtype, name="node_nn")(x)
+        node_mask = batch.node_mask
 
         if use_all_instrs:
-            dense_x, _ = to_dense_batch(
-                xq, batch.node_graph, batch.node_pos,
-                batch.num_graphs, batch.max_nodes_per_graph)
-            scores = jnp.einsum("bmd,bnd->bmn", all_instrs, dense_x,
+            # masking.py:141-149 over the dense node batch; padding
+            # slots are zero vectors, as with to_dense_batch's fill.
+            xq_m = jnp.where(node_mask[..., None], xq, 0.0)
+            scores = jnp.einsum("bmd,bnd->bmn", all_instrs, xq_m,
                                 preferred_element_type=jnp.float32)
             attention = jax.nn.softmax(scores, axis=2)   # masking.py:148
-            gate_dense = attention.sum(1)                # [B, N_max]
-            gate = from_dense_batch(gate_dense, batch.node_graph,
-                                    batch.node_pos,
-                                    valid_mask=batch.node_mask)[:, None]
+            gate = attention.sum(1)[..., None].astype(xq.dtype)  # [B, N, 1]
         else:
             uq = MLP((self.dim_questions,), dtype=self.dtype, name="ques_nn")(u)
-            gate = jnp.sum(xq * uq, axis=-1, keepdims=True)
-            gate = gate / math.sqrt(xq.shape[-1])        # masking.py:151-153
-            gate = nn.gelu(gate)
+            gate = jnp.einsum("bnd,bd->bn", xq, uq,
+                              preferred_element_type=jnp.float32)
+            gate = (gate / math.sqrt(xq.shape[-1]))[..., None]  # :151-153
+            gate = nn.gelu(gate.astype(xq.dtype))
 
         new_state = None
         if self.use_topk:
             gate = nn.Dropout(self.dropout)(gate, deterministic=not train)
-            dense, _ = to_dense_batch(
-                gate[:, 0], batch.node_graph, batch.node_pos,
-                batch.num_graphs, batch.max_nodes_per_graph, fill=0.0)
+            # dense scores with zero-filled padding (reference
+            # to_dense_batch fill, masking.py:162)
+            dense = jnp.where(node_mask, gate[..., 0], 0.0).astype(jnp.float32)
             key = self.make_rng("sampler")
             st = self.sampler_type
             cfg_train, cfg_val = self._sampler_cfgs()
@@ -132,8 +132,7 @@ class MaskingModel(nn.Module):
                 out = gumbel_topk_sample(dense, key, cfg, train=train)[0]
             else:
                 raise ValueError(f"unknown sampler_type {st!r}")
-            gate = from_dense_batch(out, batch.node_graph, batch.node_pos,
-                                    valid_mask=batch.node_mask)[:, None]
+            gate = jnp.where(node_mask, out, 0.0).astype(xq.dtype)[..., None]
         else:
             gate = nn.Dropout(self.dropout)(gate, deterministic=not train)
             gate = nn.sigmoid(gate)

@@ -1,142 +1,175 @@
-"""Masked GATv2 message-passing stack, segment-array formulation.
+"""Masked GATv2 message-passing stack, dense per-graph formulation.
 
 Equivalent of ``MGAT`` (``models/mgat.py:8-184``) and its
 ``MaskingGATv2Conv`` (``models/mgat_v2_conv.py:18-285``, a fork of PyG
 GATv2).  The PyG ``MessagePassing.propagate`` machinery becomes
-explicit gather + segment-softmax + segment-sum over the padded edge
-arrays — linear in edges, fused by XLA onto the TPU.
+batched gathers + one-hot-matmul reductions over the dense
+``[B, E_max]`` edge layout — entirely scatter-free, with all
+reductions landing on the MXU/VPU.
 
 Per layer (``mgat.py:137-177``):
 
 1. instruction fusion ``x = gelu(x * instr[graph])`` or concat
    (``mgat_v2_conv.py:152-157``);
 2. if the layer's masking threshold ≠ 1.0: node mask via
-   :class:`MaskingModel`, edge mask = mask[src]·mask[dst] with the
-   dst-only backward (``mgat_v2_conv.py:159-171``);
+   :class:`MaskingModel`, edge mask = mask[src]·mask[dst]
+   (``mgat_v2_conv.py:159-171``);
 3. GATv2 message ``m = x_l[src] + x_r[dst] + lin_edge(e)``; the edge
    mask multiplies **before and after** the leaky ReLU
    (``mgat_v2_conv.py:253-269``); attention
    ``α = softmax_dst((m·att).sum(-1))`` (``:271-272``); aggregation
    ``out[dst] += x_l[src]·α·mask`` (``:277-279``);
 4. head projection MLP (``mgat.py:79-89,156``), instruction-conditioned
-   per-graph scaled-dot-product reweighting
+   per-graph SDP reweighting
    (``utils/scatter_scaled_dot_product.py:6-15``), GraphNorm, residual
    (``mgat.py:168-172``), then global/interpretable mask multiply
    (``mgat.py:161-163,174-177``).
+
+Execution paths (identical math, same parameters):
+
+* **fused** — one Pallas kernel per layer
+  (:func:`isubgvqa_tpu.ops.pallas.fused_gat_layer`); everything above
+  stays in VMEM.  Used at inference when ``use_pallas``.
+* **reference** — the op-by-op XLA formulation
+  (:func:`~isubgvqa_tpu.ops.pallas.gat_kernel.gat_layer_reference`),
+  fully differentiable (every edge<->node move is an einsum, so the
+  backward pass is scatter-free matmuls too).  Used for training and
+  as the fallback/verification path.
+
+TPU-specific restructuring (no semantic change): the four layers'
+edge projections ``lin_edge_i(e)`` contract the same edge features,
+so they run as one fused matmul up front.
 """
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..data.batching import GraphBatch
-from ..ops.segment import segment_softmax, segment_sum
-from ..sampling import node_mask_to_edge_mask
+from ..ops.pallas.gat_kernel import fused_gat_layer, gat_layer_reference
 from ..sampling.aimle import AIMLEState
-from .layers import MLP, GraphNorm
 from .masking import MaskingModel
 
 _glorot = nn.initializers.glorot_uniform()
+_zeros = nn.initializers.zeros
+_lecun = nn.initializers.lecun_normal()
 
 
-class MaskingGATv2Conv(nn.Module):
+class MGATLayer(nn.Module):
+    """One masked GATv2 layer owning its raw parameters so the fused
+    Pallas kernel and the differentiable XLA path share them."""
+
     in_channels: int
     out_channels: int
     heads: int = 4
-    edge_dim: int = 300
     negative_slope: float = 0.2         # mgat_v2_conv.py:26
     masking_threshold: float = 1.0
     use_instr: bool = True
     use_topk: bool = True
     concat_instr: bool = False
     use_all_instrs: bool = False
+    interpretable_mode: bool = False
     sampler_type: Optional[str] = None
     sample_k: Optional[int] = None
     nb_samples: int = 1
     alpha: float = 1.0
     beta: float = 10.0
     tau: float = 1.0
+    use_pallas: bool = True
     dtype: Optional[jnp.dtype] = None
+
+    def _params(self):
+        c_in = self.in_channels
+        h, c = self.heads, self.out_channels
+        hc = h * c
+        p_dim = c * h // 2
+        att = self.param("att", _glorot, (h, c))
+        wl = self.param("lin_l_kernel", _glorot, (c_in, hc))
+        bl = self.param("lin_l_bias", _zeros, (hc,))
+        wr = self.param("lin_r_kernel", _glorot, (c_in, hc))
+        br = self.param("lin_r_bias", _zeros, (hc,))
+        cbias = self.param("bias", _zeros, (hc,))
+        w1 = self.param("x_proj_w1", _lecun, (hc, p_dim))
+        b1 = self.param("x_proj_b1", _zeros, (p_dim,))
+        w2 = self.param("x_proj_w2", _lecun, (p_dim, c))
+        b2 = self.param("x_proj_b2", _zeros, (c,))
+        gn_w = self.param("gn_weight", nn.initializers.ones, (c,))
+        gn_b = self.param("gn_bias", _zeros, (c,))
+        gn_a = self.param("gn_mean_scale", nn.initializers.ones, (c,))
+
+        # prepack per-head block matrices (constants built from params)
+        attb = jnp.zeros((hc, h), jnp.float32)
+        expand = jnp.zeros((h, hc), jnp.float32)
+        for i in range(h):
+            attb = attb.at[i * c:(i + 1) * c, i].set(att[i])
+            expand = expand.at[i, i * c:(i + 1) * c].set(1.0)
+        return {
+            "wl": wl, "bl": bl, "wr": wr, "br": br, "attb": attb,
+            "expand": expand, "cbias": cbias, "w1": w1, "b1": b1,
+            "w2": w2, "b2": b2, "gn_w": gn_w, "gn_b": gn_b, "gn_a": gn_a,
+        }
 
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,                    # [N_pad, C_in]
+        h_in: jax.Array,                 # [B, N, C]
         batch: GraphBatch,
-        edge_attr: jax.Array,            # [E_pad, edge_dim]
-        instruction: jax.Array,          # [B, C_in]
-        imle_att: jax.Array,             # [B, dim_q] global language feats
-        all_instrs: Optional[jax.Array] = None,   # [B, n_instr, dim_q]
+        eproj: jax.Array,                # [B, E, H*C] this layer's edges
+        instruction: jax.Array,          # [B, C]
+        imle_att: jax.Array,             # [B, C] global language feats
+        all_instrs: Optional[jax.Array] = None,
         train: bool = False,
         aimle_state: Optional[AIMLEState] = None,
     ):
-        """-> (out [N_pad, H*C], node_mask [N_pad,1] | None, alpha [E_pad, H])."""
-        h, c = self.heads, self.out_channels
-        g = batch.node_graph_clamped
-
+        """-> (out [B,N,C] incl. residual/sdp/norm, mask | None, alpha)."""
+        # 1. instruction fusion (mgat_v2_conv.py:152-157)
         if self.use_instr:
             if self.concat_instr:
-                x = jnp.concatenate([x, instruction[g]], axis=1)
+                ins_b = jnp.broadcast_to(
+                    instruction[:, None, :],
+                    h_in.shape[:2] + instruction.shape[-1:])
+                xf = jnp.concatenate([h_in, ins_b], axis=-1)
             else:
-                x = nn.gelu(x * instruction[g])        # mgat_v2_conv.py:156-157
+                xf = nn.gelu(h_in * instruction[:, None, :])
+        else:
+            xf = h_in
 
+        # 2. node mask via the sampler head (mgat_v2_conv.py:159-171)
         mask = None
-        edge_mask_w = None
-        if self.masking_threshold != 1.0:              # mgat_v2_conv.py:161
+        if self.masking_threshold != 1.0:
             mask, _ = MaskingModel(
-                dim_nodes=x.shape[-1], dim_questions=self.out_channels,
+                dim_nodes=xf.shape[-1], dim_questions=self.out_channels,
                 masking_threshold=self.masking_threshold,
                 use_topk=self.use_topk, sampler_type=self.sampler_type,
                 sample_k=self.sample_k, nb_samples=self.nb_samples,
                 alpha=self.alpha, beta=self.beta, tau=self.tau,
                 dtype=self.dtype, name="mask",
-            )(x, imle_att[g], batch, train=train, aimle_state=aimle_state,
+            )(xf, imle_att, batch, train=train, aimle_state=aimle_state,
               use_all_instrs=self.use_all_instrs, all_instrs=all_instrs)
-            edge_mask_w = node_mask_to_edge_mask(
-                mask, batch.edge_src, batch.edge_dst, x.shape[0])  # [E,1]
+            gate = mask
+        else:
+            gate = jnp.ones(h_in.shape[:2] + (1,), h_in.dtype)
 
-        x_l = nn.Dense(h * c, kernel_init=_glorot, dtype=self.dtype,
-                       name="lin_l")(x).reshape(-1, h, c)
-        x_r = nn.Dense(h * c, kernel_init=_glorot, dtype=self.dtype,
-                       name="lin_r")(x).reshape(-1, h, c)
-        e = nn.Dense(h * c, use_bias=False, kernel_init=_glorot,
-                     dtype=self.dtype, name="lin_edge")(edge_attr)
-        e = e.reshape(-1, h, c)
+        params = self._params()
+        apply_mask = self.interpretable_mode and mask is not None
 
-        src, dst = batch.edge_src, batch.edge_dst
-        m = x_l[src] + x_r[dst] + e                    # [E, H, C]
-        if edge_mask_w is not None:
-            m = m * edge_mask_w[:, :, None]
-        m = nn.leaky_relu(m, self.negative_slope)
-        if edge_mask_w is not None:
-            m = m * edge_mask_w[:, :, None]
-
-        att = self.param("att", _glorot, (h, c))
-        logits = jnp.sum(m * att[None], axis=-1)       # [E, H]
-        alpha = segment_softmax(logits, dst, x.shape[0], mask=batch.edge_mask)
-
-        weight = alpha if edge_mask_w is None else alpha * edge_mask_w
-        out = segment_sum(x_l[src] * weight[:, :, None], dst, x.shape[0],
-                          mask=batch.edge_mask)
-        out = out.reshape(-1, h * c)
-        out = out + self.param("bias", nn.initializers.zeros, (h * c,))
+        run_fused = (self.use_pallas and not train
+                     and jax.default_backend() == "tpu")
+        fn = fused_gat_layer if run_fused else gat_layer_reference
+        out, alpha = fn(
+            h=h_in, xf=xf, instr=instruction, gate=gate,
+            src=batch.edge_src, dst=batch.edge_dst,
+            edge_mask=batch.edge_mask, node_mask=batch.node_mask,
+            eproj=eproj, params=params,
+            negative_slope=self.negative_slope,
+            apply_mask_to_h=apply_mask,
+        )
         return out, mask, alpha
-
-
-def scatter_scaled_dot_product_attention(query, key, value, segment_ids,
-                                         num_segments, mask=None):
-    """Instruction-conditioned per-graph node reweighting
-    (``utils/scatter_scaled_dot_product.py:6-15``): softmax over each
-    graph's nodes of ``q·k/sqrt(d)``, multiplied onto the values —
-    note: a reweighting, not a pooled sum."""
-    logits = jnp.sum(query * key, axis=-1) / math.sqrt(query.shape[-1])
-    attn = segment_softmax(logits, segment_ids, num_segments, mask=mask)
-    return attn[:, None] * value
 
 
 class MGAT(nn.Module):
@@ -158,14 +191,15 @@ class MGAT(nn.Module):
     alpha: float = 1.0
     beta: float = 10.0
     tau: float = 1.0
+    use_pallas: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,                   # [N_pad, C]
+        x: jax.Array,                   # [B, N, C]
         batch: GraphBatch,
-        edge_attr: jax.Array,           # [E_pad, C]
+        edge_attr: jax.Array,           # [B, E, C]
         instr_vectors: jax.Array,       # [B, n_instr, C]
         global_language_feats: jax.Array,  # [B, C]
         train: bool = False,
@@ -173,52 +207,49 @@ class MGAT(nn.Module):
     ):
         """-> (h, last_mask | None, node_masks list, edge_attns list)."""
         in_ch = self.channels * 2 if self.concat_instr else self.channels
+        h, c = self.heads, self.channels
         hcur = x
         mask = None
         node_masks, edge_attns = [], []
-        n_seg = batch.num_graphs + 1
+
+        # all layers' edge projections in one matmul (same contraction,
+        # different weights -> stacked output dim)
+        e_all = nn.Dense(self.num_ins * h * c, use_bias=False,
+                         kernel_init=_glorot, dtype=self.dtype,
+                         name="lin_edge_all")(edge_attr)
+        bn, e = batch.edge_src.shape
+        e_all = e_all.reshape(bn, e, self.num_ins, h * c)
 
         global_mask = None
         if self.use_global_mask:
-            global_mask = jnp.ones((hcur.shape[0], 1), hcur.dtype)
+            global_mask = jnp.ones(hcur.shape[:2] + (1,), hcur.dtype)
 
         for i in range(self.num_ins):
             ins = instr_vectors[:, i, :]            # [B, C]
             st = (aimle_states or {}).get(i)
-            conv_res, m_i, alpha = MaskingGATv2Conv(
+            hcur, m_i, alpha = MGATLayer(
                 in_channels=in_ch, out_channels=self.channels,
-                heads=self.heads, edge_dim=self.channels,
+                heads=self.heads,
                 masking_threshold=float(self.masking_thresholds[i]),
                 use_instr=self.use_instr, use_topk=self.use_topk,
                 concat_instr=self.concat_instr,
                 use_all_instrs=self.use_all_instrs,
+                interpretable_mode=(self.interpretable_mode
+                                    and not self.use_global_mask),
                 sampler_type=self.sampler_type, sample_k=self.sample_k,
                 nb_samples=self.nb_samples, alpha=self.alpha, beta=self.beta,
-                tau=self.tau, dtype=self.dtype, name=f"conv{i}",
-            )(hcur, batch, edge_attr, ins, global_language_feats,
+                tau=self.tau, use_pallas=self.use_pallas, dtype=self.dtype,
+                name=f"conv{i}",
+            )(hcur, batch, e_all[:, :, i], ins, global_language_feats,
               all_instrs=instr_vectors, train=train, aimle_state=st)
-
-            # head projection 1200 -> 600 -> 300 (mgat.py:79-89)
-            conv_res = MLP((self.channels * self.heads // 2, self.channels),
-                           dtype=self.dtype, name=f"x_proj{i}")(conv_res)
 
             node_masks.append(m_i)
             edge_attns.append(alpha)
             if m_i is not None:
                 mask = m_i
-            if self.use_global_mask and m_i is not None:
-                global_mask = m_i * global_mask      # mgat.py:161-163
-
-            conv_res = scatter_scaled_dot_product_attention(
-                ins[batch.node_graph_clamped], conv_res, conv_res,
-                batch.node_graph, n_seg, mask=batch.node_mask)
-            conv_res = GraphNorm(self.channels, name=f"bn{i}")(
-                conv_res, batch.node_graph, n_seg, mask=batch.node_mask)
-            hcur = conv_res + hcur                   # mgat.py:171-172
-
             if self.use_global_mask:
+                if m_i is not None:
+                    global_mask = m_i * global_mask  # mgat.py:161-163
                 hcur = global_mask * hcur            # mgat.py:174-175
-            elif self.interpretable_mode and m_i is not None:
-                hcur = m_i * hcur                    # mgat.py:176-177
 
         return hcur, mask, node_masks, edge_attns

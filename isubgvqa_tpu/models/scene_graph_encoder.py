@@ -1,8 +1,9 @@
 """Scene-graph encoder: GloVe node/edge embeddings + bbox MLP +
-MetaLayer-style edge/node message round + GraphNorm.
+MetaLayer-style edge/node message round + GraphNorm, on the dense
+per-graph layout.
 
 Equivalent of ``SceneGraphEncoder``
-(``models/scene_graph_encoder.py:8-146``) on padded segment arrays:
+(``models/scene_graph_encoder.py:8-146``):
 
 * node feature = sum of the 4 token embeddings
   (``scene_graph_encoder.py:63-69``) concat bbox MLP (BatchNorm ->
@@ -12,7 +13,8 @@ Equivalent of ``SceneGraphEncoder``
   per-edge sign channel;
 * one MetaLayer round (``:107-146``): EdgeModel MLP on
   ``[src, dst, edge]``, NodeModel mean-aggregates transformed incoming
-  messages then re-embeds;
+  messages (scatter_mean at ``:141`` -> one-hot matmul + degree
+  division) then re-embeds;
 * GraphNorm on the node output (``:99-102``; fp32 here instead of the
   reference's fp64 upcast — see layers.GraphNorm).
 """
@@ -26,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..data.batching import GraphBatch
-from ..ops.segment import segment_mean
+from ..ops.dense_graph import aggregate_edges, edge_onehot, gather_nodes
 from .layers import MLP, GraphNorm, MaskedBatchNorm
 
 
@@ -40,7 +42,7 @@ class SceneGraphEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic=True):
-        """-> (x_encoded [N_pad, 300], edge_attr_encoded [E_pad, 300])."""
+        """-> (x_encoded [B, N, 300], edge_attr_encoded [B, E, 300])."""
         if self.vocab_vectors is not None:
             init = lambda *_: jnp.asarray(self.vocab_vectors, jnp.float32)
         else:
@@ -49,12 +51,11 @@ class SceneGraphEncoder(nn.Module):
                          embedding_init=init, dtype=self.dtype,
                          name="sg_vocab_embedding")
 
-        node_mask = batch.node_mask
+        node_mask = batch.node_mask              # [B, N]
         use_ra = deterministic
 
         # ---- node features: token-sum ⊕ bbox MLP -> reduc (:63-74)
-        x_embed = embed(batch.node_tokens)            # [N, 4, 300]
-        x_sum = jnp.sum(x_embed, axis=-2)             # [N, 300]
+        x_sum = jnp.sum(embed(batch.node_tokens), axis=-2)    # [B, N, 300]
 
         bb = batch.node_bbox.astype(x_sum.dtype)
         bb = MaskedBatchNorm(4, axis_name=self.bn_axis_name, name="bbox_bn0")(
@@ -64,7 +65,7 @@ class SceneGraphEncoder(nn.Module):
             bb, mask=node_mask, use_running_average=use_ra)
         bb = nn.gelu(nn.Dense(32, dtype=self.dtype, name="bbox_lin1")(bb))
 
-        x = jnp.concatenate([x_sum, bb], axis=1)      # [N, 332]
+        x = jnp.concatenate([x_sum, bb], axis=-1)             # [B, N, 332]
         x = MaskedBatchNorm(self.sg_emb_dim + 32, axis_name=self.bn_axis_name,
                             name="reduc_bn")(x, mask=node_mask,
                                              use_running_average=use_ra)
@@ -72,25 +73,30 @@ class SceneGraphEncoder(nn.Module):
                              name="reduc_lin")(x))
 
         # ---- edge features; negate added symmetric edges (:76-80)
-        e = embed(batch.edge_token) * batch.edge_sign[:, None].astype(x.dtype)
+        e = embed(batch.edge_token) * batch.edge_sign[..., None].astype(x.dtype)
 
         # ---- MetaLayer round (:107-146)
-        src, dst = batch.edge_src, batch.edge_dst
-        n_pad = x.shape[0]
-        edge_in = jnp.concatenate([x[src], x[dst], e], axis=1)   # [E, 900]
+        x_src = gather_nodes(x, batch.edge_src)               # [B, E, 300]
+        x_dst = gather_nodes(x, batch.edge_dst)
+        edge_in = jnp.concatenate([x_src, x_dst, e], axis=-1)  # [B, E, 900]
         e_out = MLP((self.hidden_dim, self.hidden_dim), gelu_last=False,
                     dtype=self.dtype, name="edge_mlp")(edge_in)
 
-        msg = jnp.concatenate([x[src], e_out], axis=1)           # [E, 600]
+        msg = jnp.concatenate([x_src, e_out], axis=-1)        # [B, E, 600]
         msg = MLP((self.hidden_dim, self.hidden_dim), gelu_last=False,
                   dtype=self.dtype, name="node_mlp_1")(msg)
-        agg = segment_mean(msg, dst, n_pad, mask=batch.edge_mask)
-        x_out = jnp.concatenate([x, agg], axis=1)
+        oh_dst = edge_onehot(batch.edge_dst, x.shape[1], batch.edge_mask,
+                             dtype=msg.dtype)
+        agg_sum = aggregate_edges(msg, oh_dst)                # [B, N, 300]
+        degree = jnp.maximum(jnp.sum(oh_dst, axis=1), 1.0)    # [B, N]
+        agg = agg_sum / degree[..., None].astype(agg_sum.dtype)
+
+        x_out = jnp.concatenate([x, agg], axis=-1)
         x_out = MLP((self.hidden_dim, self.hidden_dim), gelu_last=False,
                     dtype=self.dtype, name="node_mlp_2")(x_out)
 
-        # ---- GraphNorm over nodes per graph (:99-102)
+        # ---- GraphNorm over each graph's nodes (:99-102)
         x_out = GraphNorm(self.sg_emb_dim, name="graph_layer_norm")(
-            x_out, batch.node_graph, batch.num_graphs + 1, mask=node_mask)
+            x_out, node_mask)
 
         return x_out, e_out

@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the hot fused paths."""
+
+from .gat_kernel import fused_gat_layer, gat_layer_reference
+
+__all__ = ["fused_gat_layer", "gat_layer_reference"]

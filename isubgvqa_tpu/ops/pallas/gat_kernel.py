@@ -1,0 +1,356 @@
+"""Fused masked-GATv2 layer as a single Pallas TPU kernel.
+
+One grid program processes one graph entirely in VMEM: the GATv2
+message/attention/aggregation (reference ``mgat_v2_conv.py:243-279``),
+the head-projection MLP (``mgat.py:79-89,156``), the
+instruction-conditioned per-graph SDP reweighting
+(``utils/scatter_scaled_dot_product.py:6-15``), GraphNorm
+(``mgat.py:93-95,171``) and the residual (``mgat.py:172``) — i.e. the
+whole body of one MGAT layer after instruction fusion and mask
+sampling.
+
+Why: the layer decomposes into ~60 XLA ops over small per-graph
+tensors; per-op dispatch overhead dominates at GQA shapes.  Fused, the
+``[E, H·C]`` message tensor never leaves VMEM and every edge<->node
+move is an MXU matmul against an in-register one-hot incidence:
+
+    gather  = onehot_src [E, N] @ x_l [N, H·C]
+    scatter = onehot_dstᵀ [N, E] @ (x_src · α) [E, H·C]
+    softmax per destination: max/sum through the same incidences.
+
+VMEM budget per program at (N=64, E=192, C=300, H=4):
+x/h 2×40 KB, e_proj 470 KB, messages ~3×470 KB, one-hots 2×25 KB,
+weights (lin_l/lin_r 740 KB ×2, proj 900 KB) — ≈ 4.5 MB < 16 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1.0e30
+
+
+def _kernel(
+    # per-graph blocks
+    h_ref,        # [N, C]   pre-fusion node features (residual input)
+    xf_ref,       # [N, C]   instruction-fused node features
+    instr_ref,    # [1, C]   this layer's instruction vector
+    gate_ref,     # [N, 1]   node mask gate (ones when unmasked)
+    src_ref,      # [E, 1]   int32 source positions
+    dst_ref,      # [E, 1]   int32 destination positions
+    emask_ref,    # [E, 1]   edge validity (float)
+    nmask_ref,    # [N, 1]   node validity (float)
+    eproj_ref,    # [E, HC]  pre-projected edge features (this layer)
+    # broadcast weight blocks
+    wl_ref, bl_ref,        # [C, HC], [1, HC]
+    wr_ref, br_ref,        # [C, HC], [1, HC]
+    attb_ref,              # [HC, H] block-diagonal att vector
+    expand_ref,            # [H, HC] head -> channel broadcast matrix
+    cbias_ref,             # [1, HC] conv bias
+    w1_ref, b1_ref,        # [HC, P], [1, P] x_proj layer 1
+    w2_ref, b2_ref,        # [P, C], [1, C]  x_proj layer 2
+    gn_w_ref, gn_b_ref, gn_a_ref,   # [1, C] GraphNorm weight/bias/mean-scale
+    # outputs
+    out_ref,      # [N, C]   layer output (residual applied)
+    alpha_ref,    # [E, H]   attention weights
+    *,
+    negative_slope: float,
+    apply_mask_to_h: bool,
+    eps: float = 1e-5,
+):
+    n = h_ref.shape[0]
+    e = src_ref.shape[0]
+    hc = wl_ref.shape[1]
+    nheads = attb_ref.shape[1]
+    f32 = jnp.float32
+
+    xf = xf_ref[:]                                   # [N, C]
+    emask = emask_ref[:]                             # [E, 1]
+    nmask = nmask_ref[:]                             # [N, 1]
+    gate = gate_ref[:]                               # [N, 1]
+
+    # node projections (MXU)
+    x_l = jnp.dot(xf, wl_ref[:], preferred_element_type=f32) + bl_ref[:]
+    x_r = jnp.dot(xf, wr_ref[:], preferred_element_type=f32) + br_ref[:]
+
+    # incidence one-hots from positions (VPU iota compare)
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    oh_src = (src_ref[:] == node_iota).astype(f32) * emask   # [E, N]
+    oh_dst = (dst_ref[:] == node_iota).astype(f32) * emask
+
+    # gather x_l[src], x_r[dst] as matmuls
+    xs = jnp.dot(oh_src, x_l, preferred_element_type=f32)    # [E, HC]
+    xd = jnp.dot(oh_dst, x_r, preferred_element_type=f32)
+
+    m = xs + xd + eproj_ref[:].astype(f32)                   # [E, HC]
+
+    # edge gate = gate[src]*gate[dst] (mgat_v2_conv.py:169-171)
+    egate = (jnp.dot(oh_src, gate.astype(f32),
+                     preferred_element_type=f32)
+             * jnp.dot(oh_dst, gate.astype(f32),
+                       preferred_element_type=f32))          # [E, 1]
+    m = m * egate                                            # :263-264
+    m = jnp.where(m >= 0, m, m * negative_slope)             # leaky_relu
+    m = m * egate                                            # :268-269
+
+    # attention logits per head: [E, HC] @ [HC, H]
+    logits = jnp.dot(m, attb_ref[:].astype(f32),
+                     preferred_element_type=f32)             # [E, H]
+    logits = jnp.where(emask > 0, logits, _NEG)
+
+    # per-destination softmax via the incidence matrices.
+    # max over incoming edges per node, head-unrolled to keep every
+    # intermediate 2-D (Mosaic-friendly tiling)
+    inc = oh_dst > 0                                         # [E, N]
+    max_cols = []
+    for hh in range(nheads):
+        lh = logits[:, hh][:, None]                          # [E, 1]
+        mh = jnp.max(jnp.where(inc, lh, _NEG), axis=0)       # [N]
+        max_cols.append(mh[:, None])
+    max_n = jnp.concatenate(max_cols, axis=1)                # [N, H]
+    max_e = jnp.dot(oh_dst, max_n, preferred_element_type=f32)  # [E, H]
+    expv = jnp.exp(logits - jnp.maximum(max_e, _NEG)) * emask
+    denom_n = jnp.dot(oh_dst.T, expv, preferred_element_type=f32)  # [N, H]
+    denom_e = jnp.dot(oh_dst, denom_n, preferred_element_type=f32)
+    # guard: masked edges have denom 0; a tiny floor would make the
+    # division's backward (-expv/denom^2) subnormal-flush to 0/0=NaN
+    denom_safe = jnp.where(denom_e > 1e-12, denom_e, 1.0)
+    alpha = expv / denom_safe                                # [E, H]
+    alpha_ref[:] = alpha.astype(alpha_ref.dtype)
+
+    # weight = alpha * edge gate, broadcast per head to channels
+    # (mgat_v2_conv.py:277-279: x_j * (alpha * edge_mask))
+    w_edge = alpha * egate
+    w_bcast = jnp.dot(w_edge, expand_ref[:].astype(f32),
+                      preferred_element_type=f32)            # [E, HC]
+    weighted = xs * w_bcast
+    conv = jnp.dot(oh_dst.T, weighted, preferred_element_type=f32)  # [N, HC]
+    conv = conv + cbias_ref[:]
+
+    # x_proj MLP 1200 -> 600 -> 300 with GELUs (mgat.py:79-89)
+    p = jnp.dot(conv.astype(xf.dtype), w1_ref[:],
+                preferred_element_type=f32) + b1_ref[:]
+    p = jax.nn.gelu(p)
+    p = jnp.dot(p.astype(xf.dtype), w2_ref[:],
+                preferred_element_type=f32) + b2_ref[:]
+    p = jax.nn.gelu(p)                                       # [N, C]
+
+    # instruction-conditioned SDP reweighting over the graph's nodes
+    ins = instr_ref[:].astype(f32)                           # [1, C]
+    sdp_logits = jnp.sum(p * ins, axis=1, keepdims=True)     # [N, 1]
+    sdp_logits = sdp_logits / math.sqrt(p.shape[-1])
+    sdp_logits = jnp.where(nmask > 0, sdp_logits, _NEG)
+    sdp_logits = sdp_logits - jnp.max(sdp_logits, axis=0, keepdims=True)
+    sdp_exp = jnp.exp(sdp_logits) * nmask
+    sdp_denom = jnp.sum(sdp_exp, axis=0, keepdims=True)
+    sdp = sdp_exp / jnp.where(sdp_denom > 1e-12, sdp_denom, 1.0)
+    p = p * sdp                                              # [N, C]
+
+    # GraphNorm over the graph's valid nodes
+    count = jnp.maximum(jnp.sum(nmask, axis=0, keepdims=True), 1.0)
+    mean = jnp.sum(p * nmask, axis=0, keepdims=True) / count
+    shifted = p - gn_a_ref[:] * mean
+    var = jnp.sum(shifted * shifted * nmask, axis=0, keepdims=True) / count
+    normed = shifted * jax.lax.rsqrt(var + eps)
+    normed = normed * nmask
+    p = normed * gn_w_ref[:] + gn_b_ref[:]
+
+    # residual (mgat.py:172), then optional interpretable mask multiply
+    out = p + h_ref[:].astype(f32)
+    if apply_mask_to_h:
+        out = out * gate.astype(f32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def fused_gat_layer(
+    h: jax.Array,            # [B, N, C] pre-fusion features
+    xf: jax.Array,           # [B, N, C] fused features gelu(h*instr)
+    instr: jax.Array,        # [B, C]
+    gate: jax.Array,         # [B, N, 1] node gate (ones if unmasked)
+    src: jax.Array,          # [B, E] int32
+    dst: jax.Array,          # [B, E] int32
+    edge_mask: jax.Array,    # [B, E] bool
+    node_mask: jax.Array,    # [B, N] bool
+    eproj: jax.Array,        # [B, E, HC]
+    params: dict,            # weight dict, see below
+    negative_slope: float = 0.2,
+    apply_mask_to_h: bool = False,
+    interpret: bool = False,
+):
+    """Run the fused layer; returns ``(out [B,N,C], alpha [B,E,H])``.
+
+    ``params`` keys: wl, bl, wr, br, att (H, C//?), expand, cbias,
+    w1, b1, w2, b2, gn_w, gn_b, gn_a — prepacked by the caller (see
+    :func:`pack_gat_params`).
+    """
+    b, n, c = h.shape
+    e = src.shape[1]
+    hc = params["wl"].shape[1]
+    nheads = params["attb"].shape[1]
+    p_dim = params["w1"].shape[1]
+    dtype = h.dtype
+
+    kernel = functools.partial(_kernel, negative_slope=negative_slope,
+                               apply_mask_to_h=apply_mask_to_h)
+
+    def bspec(shape, with_batch=True):
+        if with_batch:
+            return pl.BlockSpec((1,) + shape,
+                                lambda i: (i,) + (0,) * len(shape),
+                                memory_space=pltpu.ANY if False else pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    # per-graph inputs carry a leading block dim of 1; reshape inside
+    # is implicit because BlockSpec slices to [1, ...] — Pallas refs
+    # drop unit leading dims only if the block shape omits them, so we
+    # instead fold the batch into the grid and pass 2-D blocks.
+    grid = (b,)
+
+    def in2(shape):
+        # [B, a, b] -> per-program [a, b]
+        return pl.BlockSpec((None,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        jax.ShapeDtypeStruct((b, e, nheads), jnp.float32),
+    )
+
+    out, alpha = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            in2((n, c)),          # h
+            in2((n, c)),          # xf
+            in2((1, c)),          # instr
+            in2((n, 1)),          # gate
+            in2((e, 1)),          # src
+            in2((e, 1)),          # dst
+            in2((e, 1)),          # emask
+            in2((n, 1)),          # nmask
+            in2((e, hc)),         # eproj
+            bcast((c, hc)), bcast((1, hc)),     # wl, bl
+            bcast((c, hc)), bcast((1, hc)),     # wr, br
+            bcast((hc, nheads)),                # attb
+            bcast((nheads, hc)),                # expand
+            bcast((1, hc)),                     # cbias
+            bcast((hc, p_dim)), bcast((1, p_dim)),  # w1, b1
+            bcast((p_dim, c)), bcast((1, c)),       # w2, b2
+            bcast((1, c)), bcast((1, c)), bcast((1, c)),  # gn w/b/a
+        ],
+        out_specs=(
+            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, e, nheads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        h, xf, instr[:, None, :], gate,
+        src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
+        edge_mask[..., None].astype(dtype), node_mask[..., None].astype(dtype),
+        eproj,
+        params["wl"], params["bl"][None, :],
+        params["wr"], params["br"][None, :],
+        params["attb"], params["expand"], params["cbias"][None, :],
+        params["w1"], params["b1"][None, :],
+        params["w2"], params["b2"][None, :],
+        params["gn_w"][None, :], params["gn_b"][None, :],
+        params["gn_a"][None, :],
+    )
+    return out.astype(dtype), alpha
+
+
+def pack_gat_params(heads: int, out_channels: int, wl, bl, wr, br, att,
+                    cbias, w1, b1, w2, b2, gn_w, gn_b, gn_a):
+    """Prepack weights: block-diagonal att vector and head-broadcast
+    matrices so per-head reductions/broadcasts run on the MXU."""
+    hc = heads * out_channels
+    attb = np.zeros((hc, heads), np.float32)
+    expand = np.zeros((heads, hc), np.float32)
+    att = np.asarray(att, np.float32).reshape(heads, out_channels)
+    for h in range(heads):
+        attb[h * out_channels:(h + 1) * out_channels, h] = att[h]
+        expand[h, h * out_channels:(h + 1) * out_channels] = 1.0
+    return {
+        "wl": wl, "bl": bl, "wr": wr, "br": br,
+        "attb": jnp.asarray(attb), "expand": jnp.asarray(expand),
+        "cbias": cbias, "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+        "gn_w": gn_w, "gn_b": gn_b, "gn_a": gn_a,
+    }
+
+
+def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
+                        eproj, params, negative_slope=0.2,
+                        apply_mask_to_h=False):
+    """Pure-XLA reference of the fused kernel (same math, op-by-op) —
+    used for kernel correctness tests and as the fallback path."""
+    f32 = jnp.float32
+    b, n, c = h.shape
+    hc = params["wl"].shape[1]
+
+    x_l = jnp.einsum("bnc,ch->bnh", xf.astype(f32),
+                     params["wl"].astype(f32)) + params["bl"]
+    x_r = jnp.einsum("bnc,ch->bnh", xf.astype(f32),
+                     params["wr"].astype(f32)) + params["br"]
+    oh_src = jax.nn.one_hot(src, n, dtype=f32) * edge_mask[..., None]
+    oh_dst = jax.nn.one_hot(dst, n, dtype=f32) * edge_mask[..., None]
+    xs = jnp.einsum("ben,bnh->beh", oh_src, x_l)
+    xd = jnp.einsum("ben,bnh->beh", oh_dst, x_r)
+    m = xs + xd + eproj.astype(f32)
+    egate = (jnp.einsum("ben,bnk->bek", oh_src, gate.astype(f32))
+             * jnp.einsum("ben,bnk->bek", oh_dst, gate.astype(f32)))
+    m = m * egate
+    m = jnp.where(m >= 0, m, m * negative_slope)
+    m = m * egate
+    logits = jnp.einsum("beh,hk->bek", m, params["attb"].astype(f32))
+    logits = jnp.where(edge_mask[..., None], logits, _NEG)
+    inc = oh_dst > 0
+    big = jnp.where(inc[..., None], logits[:, :, None, :], _NEG)
+    max_n = jnp.max(big, axis=1)
+    max_e = jnp.einsum("ben,bnh->beh", oh_dst, max_n)
+    expv = jnp.exp(logits - jnp.maximum(max_e, _NEG)) * edge_mask[..., None]
+    denom_n = jnp.einsum("ben,beh->bnh", oh_dst, expv)
+    denom_e = jnp.einsum("ben,bnh->beh", oh_dst, denom_n)
+    denom_safe = jnp.where(denom_e > 1e-12, denom_e, 1.0)
+    alpha = expv / denom_safe
+    w_edge = alpha * egate
+    w_bcast = jnp.einsum("beh,hk->bek", w_edge, params["expand"].astype(f32))
+    conv = jnp.einsum("ben,beh->bnh", oh_dst, xs * w_bcast) + params["cbias"]
+    p = jnp.einsum("bnh,hp->bnp", conv, params["w1"].astype(f32)) + params["b1"]
+    p = jax.nn.gelu(p)
+    p = jnp.einsum("bnp,pc->bnc", p, params["w2"].astype(f32)) + params["b2"]
+    p = jax.nn.gelu(p)
+    sdp_logits = jnp.einsum("bnc,bc->bn", p, instr.astype(f32))
+    sdp_logits = sdp_logits / math.sqrt(p.shape[-1])
+    sdp_logits = jnp.where(node_mask, sdp_logits, _NEG)
+    sdp_logits = sdp_logits - jnp.max(sdp_logits, axis=1, keepdims=True)
+    sdp_exp = jnp.exp(sdp_logits) * node_mask
+    sdp_denom = jnp.sum(sdp_exp, axis=1, keepdims=True)
+    sdp = sdp_exp / jnp.where(sdp_denom > 1e-12, sdp_denom, 1.0)
+    p = p * sdp[..., None]
+    nm = node_mask[..., None].astype(f32)
+    count = jnp.maximum(jnp.sum(nm, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(p * nm, axis=1, keepdims=True) / count
+    shifted = p - params["gn_a"] * mean
+    var = jnp.sum(shifted * shifted * nm, axis=1, keepdims=True) / count
+    normed = shifted * jax.lax.rsqrt(var + 1e-5) * nm
+    p = normed * params["gn_w"] + params["gn_b"]
+    out = p + h.astype(f32)
+    if apply_mask_to_h:
+        out = out * gate.astype(f32)
+    return out.astype(h.dtype), alpha

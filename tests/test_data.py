@@ -104,37 +104,38 @@ def test_answer_map_bottle_cap_remap():
 def test_collate_shapes_and_masks(vocab):
     answers = AnswerMap.synthetic(64)
     ds = SyntheticGQA(vocab, answers, size=32, seed=0)
-    spec = BucketSpec(batch_size=8, nodes_per_graph_budget=32,
-                      edges_per_graph_budget=110, max_nodes_per_graph=32,
-                      question_len=16)
+    spec = BucketSpec(batch_size=8, max_nodes_per_graph=32,
+                      max_edges_per_graph=128, question_len=16)
     coll = Collator(HashWordTokenizer(max_len=16), spec, vocab=vocab)
     batch, meta = coll.collate([ds[i] for i in range(8)])
 
-    assert batch.node_tokens.shape == (8 * 32, 4)
-    assert batch.edge_src.shape == (8 * 110,)
+    assert batch.node_tokens.shape == (8, 32, 4)
+    assert batch.edge_src.shape == (8, 128)
     assert batch.qst_tokens.shape == (8, 16)
-    n_real = batch.node_mask.sum()
-    assert n_real == sum(g.num_nodes for g in meta.graphs)
-    # padding rows point at the dummy segment
-    assert (np.asarray(batch.node_graph)[~np.asarray(batch.node_mask)] == 8).all()
-    # node_pos is the within-graph index
-    ng = np.asarray(batch.node_graph)
-    npos = np.asarray(batch.node_pos)
+    nm = np.asarray(batch.node_mask)
+    assert nm.sum() == sum(min(g.num_nodes, 32) for g in meta.graphs)
+    # per-graph real nodes fill a prefix
     for gi in range(8):
-        sel = ng == gi
-        np.testing.assert_array_equal(np.sort(npos[sel]), np.arange(sel.sum()))
-    # edges reference in-batch node indices of the right graph
-    eg = np.asarray(batch.edge_graph)
-    es = np.asarray(batch.edge_src)
+        n = nm[gi].sum()
+        assert nm[gi, :n].all() and not nm[gi, n:].any()
+    # edges reference real in-graph node positions
     em = np.asarray(batch.edge_mask)
-    assert (ng[es[em]] == eg[em]).all()
+    es = np.asarray(batch.edge_src)
+    ed = np.asarray(batch.edge_dst)
+    for gi in range(8):
+        n = nm[gi].sum()
+        assert (es[gi][em[gi]] < n).all() and (ed[gi][em[gi]] < n).all()
+    # self loops present per node
+    for gi in range(8):
+        self_edges = (es[gi] == ed[gi]) & em[gi]
+        assert self_edges.sum() >= nm[gi].sum()
 
 
 def test_iterate_batches_sharding(vocab):
     answers = AnswerMap.synthetic(16)
     ds = SyntheticGQA(vocab, answers, size=50, seed=1)
-    spec = BucketSpec(batch_size=4, nodes_per_graph_budget=32,
-                      edges_per_graph_budget=110, question_len=16)
+    spec = BucketSpec(batch_size=4, max_nodes_per_graph=32,
+                      max_edges_per_graph=128, question_len=16)
     coll = Collator(HashWordTokenizer(max_len=16), spec, vocab=vocab)
     seen = set()
     for shard in range(2):

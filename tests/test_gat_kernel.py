@@ -1,0 +1,101 @@
+"""Fused Pallas GAT-layer kernel vs its XLA reference (interpret mode
+on CPU) and vs the model's dense-op implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isubgvqa_tpu.ops.pallas.gat_kernel import (
+    fused_gat_layer,
+    gat_layer_reference,
+    pack_gat_params,
+)
+
+
+def make_inputs(rng, b=2, n=16, e=40, c=12, heads=4):
+    hc = heads * c
+    p_dim = heads * c // 2
+    h = rng.normal(size=(b, n, c)).astype(np.float32)
+    xf = rng.normal(size=(b, n, c)).astype(np.float32)
+    instr = rng.normal(size=(b, c)).astype(np.float32)
+    node_mask = np.zeros((b, n), bool)
+    edge_mask = np.zeros((b, e), bool)
+    src = np.zeros((b, e), np.int32)
+    dst = np.zeros((b, e), np.int32)
+    gate = np.ones((b, n, 1), np.float32)
+    for g in range(b):
+        nn_ = rng.integers(4, n + 1)
+        ne = rng.integers(4, e + 1)
+        node_mask[g, :nn_] = True
+        edge_mask[g, :ne] = True
+        src[g, :ne] = rng.integers(0, nn_, ne)
+        dst[g, :ne] = rng.integers(0, nn_, ne)
+        gate[g, :, 0] = (rng.random(n) > 0.4).astype(np.float32)
+    eproj = rng.normal(size=(b, e, hc)).astype(np.float32)
+    params = pack_gat_params(
+        heads, c,
+        wl=rng.normal(size=(c, hc)).astype(np.float32) * 0.2,
+        bl=rng.normal(size=(hc,)).astype(np.float32) * 0.1,
+        wr=rng.normal(size=(c, hc)).astype(np.float32) * 0.2,
+        br=rng.normal(size=(hc,)).astype(np.float32) * 0.1,
+        att=rng.normal(size=(heads, c)).astype(np.float32) * 0.3,
+        cbias=rng.normal(size=(hc,)).astype(np.float32) * 0.1,
+        w1=rng.normal(size=(hc, p_dim)).astype(np.float32) * 0.1,
+        b1=rng.normal(size=(p_dim,)).astype(np.float32) * 0.1,
+        w2=rng.normal(size=(p_dim, c)).astype(np.float32) * 0.1,
+        b2=rng.normal(size=(c,)).astype(np.float32) * 0.1,
+        gn_w=np.abs(rng.normal(size=(c,))).astype(np.float32) + 0.5,
+        gn_b=rng.normal(size=(c,)).astype(np.float32) * 0.1,
+        gn_a=np.ones((c,), np.float32),
+    )
+    args = dict(
+        h=jnp.array(h), xf=jnp.array(xf), instr=jnp.array(instr),
+        gate=jnp.array(gate), src=jnp.array(src), dst=jnp.array(dst),
+        edge_mask=jnp.array(edge_mask), node_mask=jnp.array(node_mask),
+        eproj=jnp.array(eproj), params=params,
+    )
+    return args
+
+
+@pytest.mark.parametrize("apply_mask", [False, True])
+def test_kernel_matches_reference(rng, apply_mask):
+    args = make_inputs(rng)
+    out_k, alpha_k = fused_gat_layer(**args, apply_mask_to_h=apply_mask,
+                                     interpret=True)
+    out_r, alpha_r = gat_layer_reference(**args, apply_mask_to_h=apply_mask)
+    np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_alpha_normalized_per_destination(rng):
+    args = make_inputs(rng, b=1)
+    _, alpha = fused_gat_layer(**args, interpret=True)
+    alpha = np.asarray(alpha)[0]
+    dst = np.asarray(args["dst"])[0]
+    em = np.asarray(args["edge_mask"])[0]
+    gate = np.asarray(args["gate"])[0, :, 0]
+    src = np.asarray(args["src"])[0]
+    for node in set(dst[em].tolist()):
+        sel = (dst == node) & em
+        s = alpha[sel].sum(0)
+        # alpha sums to 1 over incoming edges unless every incoming
+        # message was gated to exactly zero (then logits are all equal
+        # -> still softmax-normalized)
+        np.testing.assert_allclose(s, 1.0, rtol=1e-4)
+
+
+def test_masked_rows_are_zeroed(rng):
+    args = make_inputs(rng)
+    out, alpha = fused_gat_layer(**args, interpret=True)
+    nm = np.asarray(args["node_mask"])
+    em = np.asarray(args["edge_mask"])
+    # padding edges carry zero attention
+    assert (np.asarray(alpha)[~em] == 0).all()
+    # padding node rows carry only residual + GraphNorm bias (their
+    # normalized value is zeroed; downstream ops mask them anyway)
+    ref = np.asarray(args["h"]) + np.asarray(args["params"]["gn_b"])
+    np.testing.assert_allclose(np.asarray(out)[~nm], ref[~nm],
+                               rtol=1e-4, atol=1e-5)

@@ -25,8 +25,7 @@ def small_cfg(**kw) -> Config:
         text_vocab_size=512,
         question_len=12,
         max_nodes_per_graph=32,
-        nodes_per_graph_budget=32,
-        edges_per_graph_budget=110,
+        max_edges_per_graph=128,
         batch_size=4,
         compute_dtype="float32",
         sampler_type="gumbel",
@@ -44,9 +43,8 @@ def setup():
     answers = AnswerMap.synthetic(cfg.num_answers)
     ds = SyntheticGQA(vocab, answers, size=16, seed=0)
     spec = BucketSpec(batch_size=cfg.batch_size,
-                      nodes_per_graph_budget=cfg.nodes_per_graph_budget,
-                      edges_per_graph_budget=cfg.edges_per_graph_budget,
                       max_nodes_per_graph=cfg.max_nodes_per_graph,
+                      max_edges_per_graph=cfg.max_edges_per_graph,
                       question_len=cfg.question_len)
     tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
                             max_len=cfg.question_len)
@@ -77,17 +75,14 @@ def test_forward_all_samplers(setup, sampler):
                                           aimle_states=aimle_states)
     assert out.logits.shape == (4, 32)
     assert np.all(np.isfinite(np.asarray(out.logits)))
-    # last layer is masked -> node mask exists with exactly-k per graph
-    nm = np.asarray(out.node_mask)[:, 0]
-    ng = np.asarray(batch.node_graph)
+    # last layer is masked -> node mask exists; padding slots can win
+    # top-k slots (reference to_dense_batch zero-fill semantics), so
+    # selected real nodes are <= k per graph
+    nm = np.asarray(out.node_mask)[..., 0]        # [B, N]
     nmask = np.asarray(batch.node_mask)
     for gi in range(4):
-        sel = (ng == gi) & nmask
-        n_nodes = sel.sum()
-        k_eff = min(3, n_nodes)
-        # padding slots can win top-k slots (reference to_dense_batch
-        # zero-fill semantics), so selected real nodes are <= k
-        assert nm[sel].sum() <= max(k_eff, 3) + 1e-6
+        assert nm[gi][nmask[gi]].sum() <= 3 + 1e-6
+        assert (nm[gi][~nmask[gi]] == 0).all()
     assert out.node_logits_layers == ()
 
 
