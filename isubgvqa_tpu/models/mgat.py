@@ -158,8 +158,12 @@ class MGATLayer(nn.Module):
         params = self._params()
         apply_mask = self.interpretable_mode and mask is not None
 
+        # fused kernel only when actually lowering for TPU (init may
+        # trace under a CPU default_device context)
+        dd = jax.config.jax_default_device
+        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
         run_fused = (self.use_pallas and not train
-                     and jax.default_backend() == "tpu")
+                     and jax.default_backend() == "tpu" and not pinned_cpu)
         fn = fused_gat_layer if run_fused else gat_layer_reference
         out, alpha = fn(
             h=h_in, xf=xf, instr=instruction, gate=gate,

@@ -198,6 +198,13 @@ def fused_gat_layer(
     p_dim = params["w1"].shape[1]
     dtype = h.dtype
 
+    # Mosaic (this toolchain) rejects some bf16 lane broadcasts; the
+    # kernel math is f32 anyway, so feed f32 operands.
+    f32 = jnp.float32
+    h, xf, instr, gate, eproj = (t.astype(f32) for t in
+                                 (h, xf, instr, gate, eproj))
+    params = {k: v.astype(f32) for k, v in params.items()}
+
     kernel = functools.partial(_kernel, negative_slope=negative_slope,
                                apply_mask_to_h=apply_mask_to_h)
 
@@ -262,7 +269,7 @@ def fused_gat_layer(
     )(
         h, xf, instr[:, None, :], gate,
         src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
-        edge_mask[..., None].astype(dtype), node_mask[..., None].astype(dtype),
+        edge_mask[..., None].astype(f32), node_mask[..., None].astype(f32),
         eproj,
         params["wl"], params["bl"][None, :],
         params["wr"], params["br"][None, :],
