@@ -119,6 +119,23 @@ def main(argv=None) -> None:
     from .models.build import build_model
     from .train.loop import Trainer
 
+    # the reference replaces args wholesale from the checkpoint on
+    # resume (main.py:128-137) — adopt the checkpointed config up
+    # front so the rebuilt model/data match the restored state
+    if cfg.resume:
+        resume_path = cfg.resume if os.path.exists(cfg.resume) else \
+            os.path.join(cfg.output_dir, cfg.resume)
+        meta_path = resume_path + ".meta.json"
+        if os.path.isfile(meta_path):
+            import json as _json
+
+            with open(meta_path) as f:
+                ckpt_cfg = Config.from_json(_json.dumps(_json.load(f)["config"]))
+            cfg = dataclasses.replace(
+                ckpt_cfg, resume=resume_path, evaluate=cfg.evaluate,
+                pre_eval=cfg.pre_eval, output_dir=cfg.output_dir,
+                epochs=cfg.epochs)
+
     data = build_datasets(cfg)
     # classifier width must match the answer map actually loaded
     # (1842 with the GQA meta assets; isubgvqa.py:207)

@@ -77,9 +77,12 @@ def _kernel(
     nmask = nmask_ref[:]                             # [N, 1]
     gate = gate_ref[:]                               # [N, 1]
 
-    # node projections (MXU)
-    x_l = jnp.dot(xf, wl_ref[:], preferred_element_type=f32) + bl_ref[:]
-    x_r = jnp.dot(xf, wr_ref[:], preferred_element_type=f32) + br_ref[:]
+    # node projections (MXU, bf16 operands, f32 accumulation)
+    xfb = xf.astype(wl_ref.dtype)
+    x_l = (jnp.dot(xfb, wl_ref[:], preferred_element_type=f32)
+           + bl_ref[:].astype(f32))
+    x_r = (jnp.dot(xfb, wr_ref[:], preferred_element_type=f32)
+           + br_ref[:].astype(f32))
 
     # incidence one-hots from positions (VPU iota compare)
     node_iota = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
@@ -133,14 +136,14 @@ def _kernel(
                       preferred_element_type=f32)            # [E, HC]
     weighted = xs * w_bcast
     conv = jnp.dot(oh_dst.T, weighted, preferred_element_type=f32)  # [N, HC]
-    conv = conv + cbias_ref[:]
+    conv = conv + cbias_ref[:].astype(f32)
 
     # x_proj MLP 1200 -> 600 -> 300 with GELUs (mgat.py:79-89)
-    p = jnp.dot(conv.astype(xf.dtype), w1_ref[:],
-                preferred_element_type=f32) + b1_ref[:]
+    p = jnp.dot(conv.astype(w1_ref.dtype), w1_ref[:],
+                preferred_element_type=f32) + b1_ref[:].astype(f32)
     p = jax.nn.gelu(p)
-    p = jnp.dot(p.astype(xf.dtype), w2_ref[:],
-                preferred_element_type=f32) + b2_ref[:]
+    p = jnp.dot(p.astype(w2_ref.dtype), w2_ref[:],
+                preferred_element_type=f32) + b2_ref[:].astype(f32)
     p = jax.nn.gelu(p)                                       # [N, C]
 
     # instruction-conditioned SDP reweighting over the graph's nodes
@@ -157,11 +160,11 @@ def _kernel(
     # GraphNorm over the graph's valid nodes
     count = jnp.maximum(jnp.sum(nmask, axis=0, keepdims=True), 1.0)
     mean = jnp.sum(p * nmask, axis=0, keepdims=True) / count
-    shifted = p - gn_a_ref[:] * mean
+    shifted = p - gn_a_ref[:].astype(f32) * mean
     var = jnp.sum(shifted * shifted * nmask, axis=0, keepdims=True) / count
     normed = shifted * jax.lax.rsqrt(var + eps)
     normed = normed * nmask
-    p = normed * gn_w_ref[:] + gn_b_ref[:]
+    p = normed * gn_w_ref[:].astype(f32) + gn_b_ref[:].astype(f32)
 
     # residual (mgat.py:172), then optional interpretable mask multiply
     out = p + h_ref[:].astype(f32)
@@ -198,11 +201,14 @@ def fused_gat_layer(
     p_dim = params["w1"].shape[1]
     dtype = h.dtype
 
-    # Mosaic (this toolchain) rejects some bf16 lane broadcasts; the
-    # kernel math is f32 anyway, so feed f32 operands.
+    # Mosaic (this toolchain) rejects some bf16 lane broadcasts, so all
+    # elementwise work is f32.  The per-graph [E, H*C] edge block —
+    # the largest double-buffered input — ships as bf16 (it is the
+    # model's compute dtype upstream anyway); weights stay f32 for
+    # accuracy, fitting the 16 MB VMEM budget at N=128/E=384.
     f32 = jnp.float32
-    h, xf, instr, gate, eproj = (t.astype(f32) for t in
-                                 (h, xf, instr, gate, eproj))
+    h, xf, instr, gate = (t.astype(f32) for t in (h, xf, instr, gate))
+    eproj = eproj.astype(jnp.bfloat16)
     params = {k: v.astype(f32) for k, v in params.items()}
 
     kernel = functools.partial(_kernel, negative_slope=negative_slope,

@@ -32,7 +32,11 @@ def make_inputs(rng, b=2, n=16, e=40, c=12, heads=4):
         src[g, :ne] = rng.integers(0, nn_, ne)
         dst[g, :ne] = rng.integers(0, nn_, ne)
         gate[g, :, 0] = (rng.random(n) > 0.4).astype(np.float32)
-    eproj = rng.normal(size=(b, e, hc)).astype(np.float32)
+    # pre-round to bf16: the fused kernel ships the edge block as bf16
+    # (its upstream compute dtype), so give both paths identical values
+    eproj = np.asarray(
+        jnp.asarray(rng.normal(size=(b, e, hc)), jnp.bfloat16)
+    ).astype(np.float32)
     params = pack_gat_params(
         heads, c,
         wl=rng.normal(size=(c, hc)).astype(np.float32) * 0.2,
