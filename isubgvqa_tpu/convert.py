@@ -1,0 +1,244 @@
+"""Convert reference PyTorch ISubGVQA checkpoints to this framework.
+
+Maps the reference ``model.state_dict()`` (``training/train_loop.py:
+88-94`` payloads, possibly DDP-prefixed) onto this framework's flax
+parameter / batch-stats trees, so models trained with the
+PyTorch/PyG reference can be served or fine-tuned here.
+
+Name correspondence (reference module -> flax path):
+
+==============================================  =================================
+isubgvqa.py module                               flax param path
+==============================================  =================================
+text_vocab_embedding.token_embedding             question_encoder/text_vocab_embedding/token_embedding
+question_encoder.transformer_encoder.layers.i    question_encoder/layer{i} (in_proj split into q/k/v)
+program_decoder.query_embed                      program_decoder/query_embed
+program_decoder.coarse_decoder.layers.i          program_decoder/layer{i}
+scene_graph_encoder.sg_vocab_embedding           scene_graph_encoder/sg_vocab_embedding
+scene_graph_encoder.bbox_encoding.{0,1,3,4}      .../bbox_bn0, bbox_lin0, bbox_bn1, bbox_lin1
+scene_graph_encoder.feat_reduc.{0,1}             .../reduc_bn, reduc_lin
+scene_graph_encoder.scene_graph_encoding_layer   .../edge_mlp, node_mlp_1, node_mlp_2
+scene_graph_encoder.graph_layer_norm             .../graph_layer_norm
+gat_seq.convs.i.{lin_l,lin_r,att,bias}           gat_seq/conv{i}/...
+gat_seq.convs.i.lin_edge (x4)                    gat_seq/lin_edge_all (stacked)
+gat_seq.convs.i.mask.{node_nn,ques_nn}           gat_seq/conv{i}/mask/...
+gat_seq.x_proj.i / gat_seq.bns.i                 gat_seq/conv{i}/x_proj_* / gn_*
+graph_global_attention_pooling.{node,ques}_nn    graph_global_attention_pooling/...
+qsts_reduction.0 / instr_reduction.0             qsts_reduction/lin0, instr_reduction/lin0
+embedding.0 / logit_fc                           embedding, logit_fc
+==============================================  =================================
+
+Weights defined but unused by the reference forward (``gate_nn`` in
+the mask head and pooling, ``emb_proj``, ``pos_encoder``,
+``node_logits`` unless node-classification) are skipped.
+
+Torch ``Linear.weight`` is ``[out, in]`` -> transposed to flax
+``[in, out]``; ``in_proj_weight`` splits into q/k/v.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w, np.float32).T
+
+
+def _a(w) -> np.ndarray:
+    return np.asarray(w, np.float32)
+
+
+def strip_ddp_prefix(sd: Mapping[str, object]) -> Dict[str, object]:
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def _attn(sd: Mapping, prefix: str) -> Dict:
+    """torch nn.MultiheadAttention -> q/k/v/out Dense params."""
+    in_w = _a(sd[f"{prefix}.in_proj_weight"])     # [3D, D]
+    in_b = _a(sd[f"{prefix}.in_proj_bias"])       # [3D]
+    d = in_w.shape[1]
+    q_w, k_w, v_w = in_w[:d].T, in_w[d:2 * d].T, in_w[2 * d:].T
+    q_b, k_b, v_b = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+    return {
+        "q": {"kernel": q_w, "bias": q_b},
+        "k": {"kernel": k_w, "bias": k_b},
+        "v": {"kernel": v_w, "bias": v_b},
+        "out": {"kernel": _t(sd[f"{prefix}.out_proj.weight"]),
+                "bias": _a(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": _a(sd[f"{prefix}.weight"]),
+            "bias": _a(sd[f"{prefix}.bias"])}
+
+
+def _lin(sd: Mapping, prefix: str) -> Dict:
+    return {"kernel": _t(sd[f"{prefix}.weight"]),
+            "bias": _a(sd[f"{prefix}.bias"])}
+
+
+def _mlp(sd: Mapping, prefix: str, idxs=(0, 2)) -> Dict:
+    return {f"lin{j}": _lin(sd, f"{prefix}.{i}") for j, i in enumerate(idxs)}
+
+
+def _graphnorm(sd: Mapping, prefix: str) -> Dict:
+    return {"weight": _a(sd[f"{prefix}.weight"]),
+            "bias": _a(sd[f"{prefix}.bias"]),
+            "mean_scale": _a(sd[f"{prefix}.mean_scale"])}
+
+
+def _bn_params(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": _a(sd[f"{prefix}.weight"]),
+            "bias": _a(sd[f"{prefix}.bias"])}
+
+
+def _bn_stats(sd: Mapping, prefix: str) -> Dict:
+    return {"mean": _a(sd[f"{prefix}.running_mean"]),
+            "var": _a(sd[f"{prefix}.running_var"])}
+
+
+def convert_state_dict(sd: Mapping[str, object],
+                       encoder_layers: int = 4,
+                       decoder_layers: int = 3,
+                       mgat_layers: int = 4) -> tuple[Dict, Dict]:
+    """Reference state_dict -> (params, batch_stats) flax trees."""
+    sd = strip_ddp_prefix(sd)
+    params: Dict = {}
+    stats: Dict = {}
+
+    # ---- question encoder
+    qe: Dict = {
+        "text_vocab_embedding": {
+            "token_embedding": {"embedding": _a(
+                sd["text_vocab_embedding.token_embedding.weight"])},
+            "position_embedding": {"embedding": _a(
+                sd["text_vocab_embedding.position_embedding.weight"])},
+        },
+        "final_norm": _ln(sd, "question_encoder.transformer_encoder.norm"),
+    }
+    for i in range(encoder_layers):
+        pre = f"question_encoder.transformer_encoder.layers.{i}"
+        qe[f"layer{i}"] = {
+            "self_attn": _attn(sd, f"{pre}.self_attn"),
+            "ffn1": _lin(sd, f"{pre}.linear1"),
+            "ffn2": _lin(sd, f"{pre}.linear2"),
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+        }
+    params["question_encoder"] = qe
+
+    # ---- program decoder
+    pd: Dict = {
+        "query_embed": _a(sd["program_decoder.query_embed.weight"]),
+        "final_norm": _ln(sd, "program_decoder.coarse_decoder.norm"),
+    }
+    for i in range(decoder_layers):
+        pre = f"program_decoder.coarse_decoder.layers.{i}"
+        pd[f"layer{i}"] = {
+            "self_attn": _attn(sd, f"{pre}.self_attn"),
+            "cross_attn": _attn(sd, f"{pre}.multihead_attn"),
+            "ffn1": _lin(sd, f"{pre}.linear1"),
+            "ffn2": _lin(sd, f"{pre}.linear2"),
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+            "norm3": _ln(sd, f"{pre}.norm3"),
+        }
+    params["program_decoder"] = pd
+
+    # ---- scene graph encoder
+    sge_prefix = "scene_graph_encoder"
+    meta = f"{sge_prefix}.scene_graph_encoding_layer"
+    params["scene_graph_encoder"] = {
+        "sg_vocab_embedding": {"embedding": _a(
+            sd[f"{sge_prefix}.sg_vocab_embedding.weight"])},
+        "bbox_bn0": _bn_params(sd, f"{sge_prefix}.bbox_encoding.0"),
+        "bbox_lin0": _lin(sd, f"{sge_prefix}.bbox_encoding.1"),
+        "bbox_bn1": _bn_params(sd, f"{sge_prefix}.bbox_encoding.3"),
+        "bbox_lin1": _lin(sd, f"{sge_prefix}.bbox_encoding.4"),
+        "reduc_bn": _bn_params(sd, f"{sge_prefix}.feat_reduc.0"),
+        "reduc_lin": _lin(sd, f"{sge_prefix}.feat_reduc.1"),
+        "edge_mlp": _mlp(sd, f"{meta}.edge_model.edge_mlp"),
+        "node_mlp_1": _mlp(sd, f"{meta}.node_model.node_mlp_1"),
+        "node_mlp_2": _mlp(sd, f"{meta}.node_model.node_mlp_2"),
+        "graph_layer_norm": _graphnorm(sd, f"{sge_prefix}.graph_layer_norm"),
+    }
+    stats["scene_graph_encoder"] = {
+        "bbox_bn0": _bn_stats(sd, f"{sge_prefix}.bbox_encoding.0"),
+        "bbox_bn1": _bn_stats(sd, f"{sge_prefix}.bbox_encoding.3"),
+        "reduc_bn": _bn_stats(sd, f"{sge_prefix}.feat_reduc.0"),
+    }
+
+    # ---- MGAT
+    gat: Dict = {}
+    lin_edges = []
+    for i in range(mgat_layers):
+        conv = f"gat_seq.convs.{i}"
+        layer = {
+            "lin_l_kernel": _t(sd[f"{conv}.lin_l.weight"]),
+            "lin_l_bias": _a(sd[f"{conv}.lin_l.bias"]),
+            "lin_r_kernel": _t(sd[f"{conv}.lin_r.weight"]),
+            "lin_r_bias": _a(sd[f"{conv}.lin_r.bias"]),
+            "att": _a(sd[f"{conv}.att"]).reshape(
+                _a(sd[f"{conv}.att"]).shape[-2:]),
+            "bias": _a(sd[f"{conv}.bias"]),
+            "x_proj_w1": _t(sd[f"gat_seq.x_proj.{i}.0.weight"]),
+            "x_proj_b1": _a(sd[f"gat_seq.x_proj.{i}.0.bias"]),
+            "x_proj_w2": _t(sd[f"gat_seq.x_proj.{i}.2.weight"]),
+            "x_proj_b2": _a(sd[f"gat_seq.x_proj.{i}.2.bias"]),
+            "gn_weight": _a(sd[f"gat_seq.bns.{i}.weight"]),
+            "gn_bias": _a(sd[f"gat_seq.bns.{i}.bias"]),
+            "gn_mean_scale": _a(sd[f"gat_seq.bns.{i}.mean_scale"]),
+        }
+        if f"{conv}.mask.node_nn.0.weight" in sd:
+            layer["mask"] = {
+                "node_nn": {"lin0": _lin(sd, f"{conv}.mask.node_nn.0")},
+                "ques_nn": {"lin0": _lin(sd, f"{conv}.mask.ques_nn.0")},
+            }
+        gat[f"conv{i}"] = layer
+        lin_edges.append(_t(sd[f"{conv}.lin_edge.weight"]))
+    gat["lin_edge_all"] = {"kernel": np.concatenate(lin_edges, axis=1)}
+    params["gat_seq"] = gat
+
+    # ---- pooling + fusion head
+    params["graph_global_attention_pooling"] = {
+        "node_nn": _mlp(sd, "graph_global_attention_pooling.node_nn"),
+        "ques_nn": _mlp(sd, "graph_global_attention_pooling.ques_nn"),
+    }
+    params["qsts_reduction"] = {"lin0": _lin(sd, "qsts_reduction.0")}
+    params["instr_reduction"] = {"lin0": _lin(sd, "instr_reduction.0")}
+    params["embedding"] = _lin(sd, "embedding.0")
+    params["logit_fc"] = _lin(sd, "logit_fc")
+
+    if "text_sampling.qsts_att_keys.0.weight" in sd or \
+            "qsts_att_keys.0.weight" in sd:
+        key = "qsts_att_keys.0" if "qsts_att_keys.0.weight" in sd else \
+            "text_sampling.qsts_att_keys.0"
+        params["qsts_att_keys"] = {"lin0": _lin(sd, key)}
+        params["qsts_att_query"] = {"lin0": _lin(
+            sd, key.replace("keys", "query"))}
+
+    return params, stats
+
+
+def convert_checkpoint_file(path: str, out_dir: str, **kw) -> str:
+    """Load a reference ``.pth`` with torch (CPU) and write an orbax
+    checkpoint loadable by this framework's CheckpointManager."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() for k, v in ckpt["model"].items()
+          if hasattr(v, "numpy")}
+    params, stats = convert_state_dict(sd, **kw)
+
+    import orbax.checkpoint as ocp
+
+    ckpter = ocp.StandardCheckpointer()
+    ckpter.save(out_dir, {"params": params, "batch_stats": stats},
+                force=True)
+    ckpter.wait_until_finished()
+    return out_dir

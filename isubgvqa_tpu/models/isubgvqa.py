@@ -104,12 +104,14 @@ class ISubGVQA(nn.Module):
         )(batch, deterministic=not train)
 
         # ---- masked GAT stack (isubgvqa.py:267-278)
-        x_mgat, imle_mask, node_masks, edge_attns = MGAT(
+        x_mgat, imle_mask, node_masks, edge_attns, node_logits_layers = MGAT(
             channels=hid, num_ins=cfg.mgat_layers, heads=cfg.gat_heads,
             masking_thresholds=cfg.mgat_masks, use_instr=cfg.use_instruction,
             use_topk=cfg.use_topk, interpretable_mode=cfg.interpretable_mode,
             concat_instr=cfg.concat_instr, use_all_instrs=cfg.use_all_instrs,
-            use_global_mask=cfg.use_global_mask, sampler_type=cfg.sampler_type,
+            use_global_mask=cfg.use_global_mask,
+            node_classification=cfg.node_classification,
+            sampler_type=cfg.sampler_type,
             sample_k=cfg.sample_k, nb_samples=cfg.nb_samples, alpha=cfg.alpha,
             beta=cfg.beta, tau=cfg.tau, use_pallas=cfg.use_pallas,
             dtype=dtype, name="gat_seq",
@@ -132,6 +134,6 @@ class ISubGVQA(nn.Module):
             logits=logits.astype(jnp.float32),
             node_mask=imle_mask,
             gate=gate,
-            node_logits_layers=(),
+            node_logits_layers=tuple(node_logits_layers),
             mask_text=mask_text,
         )

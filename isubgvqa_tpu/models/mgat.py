@@ -189,6 +189,8 @@ class MGAT(nn.Module):
     concat_instr: bool = False
     use_all_instrs: bool = False
     use_global_mask: bool = False
+    node_classification: bool = False
+    num_node_classes: int = 2577        # mgat.py:98-102
     sampler_type: Optional[str] = None
     sample_k: Optional[int] = None
     nb_samples: int = 1
@@ -209,12 +211,24 @@ class MGAT(nn.Module):
         train: bool = False,
         aimle_states: Optional[dict] = None,
     ):
-        """-> (h, last_mask | None, node_masks list, edge_attns list)."""
+        """-> (h, last_mask | None, node_masks list, edge_attns list,
+        node_logits_layers list)."""
         in_ch = self.channels * 2 if self.concat_instr else self.channels
         h, c = self.heads, self.channels
         hcur = x
         mask = None
         node_masks, edge_attns = [], []
+        node_logits_layers = []
+
+        # per-node classification head (mgat.py:98-102; the reference
+        # defines it but never wires it — here it is functional behind
+        # the --node_classification flag)
+        node_head = None
+        if self.node_classification:
+            from .layers import MLP
+
+            node_head = MLP((512, self.num_node_classes), gelu_last=False,
+                            dtype=self.dtype, name="node_logits")
 
         # all layers' edge projections in one matmul (same contraction,
         # different weights -> stacked output dim)
@@ -249,6 +263,8 @@ class MGAT(nn.Module):
 
             node_masks.append(m_i)
             edge_attns.append(alpha)
+            if node_head is not None:
+                node_logits_layers.append(node_head(hcur))
             if m_i is not None:
                 mask = m_i
             if self.use_global_mask:
@@ -256,4 +272,4 @@ class MGAT(nn.Module):
                     global_mask = m_i * global_mask  # mgat.py:161-163
                 hcur = global_mask * hcur            # mgat.py:174-175
 
-        return hcur, mask, node_masks, edge_attns
+        return hcur, mask, node_masks, edge_attns, node_logits_layers
