@@ -37,7 +37,10 @@ class Trainer:
         self.model = model
         self.data = data
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_data_shards)
-        self.num_shards = 1  # per-host sharding handled by mesh device_put
+        # per-host input sharding (DistributedSampler parity,
+        # datasets/build.py:44-49: the reference shards train only)
+        self.shard_index = jax.process_index()
+        self.num_shards = jax.process_count()
 
         steps_per_epoch = max(
             len(data.datasets["train"]) // max(cfg.batch_size, 1), 1)
@@ -66,8 +69,10 @@ class Trainer:
         ds = self.data.datasets["train"]
         coll = self.data.collators["train"]
         batches = iterate_batches(ds, coll, shuffle=True,
-                                  seed=cfg.seed + epoch, drop_last=True)
-        n_batches = len(ds) // cfg.batch_size
+                                  seed=cfg.seed + epoch, drop_last=True,
+                                  shard_index=self.shard_index,
+                                  num_shards=self.num_shards)
+        n_batches = len(ds) // self.num_shards // cfg.batch_size
 
         batch_time = AverageMeter("Time", ":4.2f")
         data_time = AverageMeter("Data", ":4.2f")
