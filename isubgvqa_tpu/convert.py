@@ -86,11 +86,6 @@ def _mlp(sd: Mapping, prefix: str, idxs=(0, 2)) -> Dict:
     return {f"lin{j}": _lin(sd, f"{prefix}.{i}") for j, i in enumerate(idxs)}
 
 
-def _graphnorm(sd: Mapping, prefix: str) -> Dict:
-    return {"weight": _a(sd[f"{prefix}.weight"]),
-            "bias": _a(sd[f"{prefix}.bias"]),
-            "mean_scale": _a(sd[f"{prefix}.mean_scale"])}
-
 
 def _bn_params(sd: Mapping, prefix: str) -> Dict:
     return {"scale": _a(sd[f"{prefix}.weight"]),
@@ -162,10 +157,22 @@ def convert_state_dict(sd: Mapping[str, object],
         "bbox_lin1": _lin(sd, f"{sge_prefix}.bbox_encoding.4"),
         "reduc_bn": _bn_params(sd, f"{sge_prefix}.feat_reduc.0"),
         "reduc_lin": _lin(sd, f"{sge_prefix}.feat_reduc.1"),
-        "edge_mlp": _mlp(sd, f"{meta}.edge_model.edge_mlp"),
-        "node_mlp_1": _mlp(sd, f"{meta}.node_model.node_mlp_1"),
-        "node_mlp_2": _mlp(sd, f"{meta}.node_model.node_mlp_2"),
-        "graph_layer_norm": _graphnorm(sd, f"{sge_prefix}.graph_layer_norm"),
+        # MetaLayer MLPs live as raw kernels (fused-kernel layout)
+        "edge_mlp_w1": _t(sd[f"{meta}.edge_model.edge_mlp.0.weight"]),
+        "edge_mlp_b1": _a(sd[f"{meta}.edge_model.edge_mlp.0.bias"]),
+        "edge_mlp_w2": _t(sd[f"{meta}.edge_model.edge_mlp.2.weight"]),
+        "edge_mlp_b2": _a(sd[f"{meta}.edge_model.edge_mlp.2.bias"]),
+        "node_mlp1_w1": _t(sd[f"{meta}.node_model.node_mlp_1.0.weight"]),
+        "node_mlp1_b1": _a(sd[f"{meta}.node_model.node_mlp_1.0.bias"]),
+        "node_mlp1_w2": _t(sd[f"{meta}.node_model.node_mlp_1.2.weight"]),
+        "node_mlp1_b2": _a(sd[f"{meta}.node_model.node_mlp_1.2.bias"]),
+        "node_mlp2_w1": _t(sd[f"{meta}.node_model.node_mlp_2.0.weight"]),
+        "node_mlp2_b1": _a(sd[f"{meta}.node_model.node_mlp_2.0.bias"]),
+        "node_mlp2_w2": _t(sd[f"{meta}.node_model.node_mlp_2.2.weight"]),
+        "node_mlp2_b2": _a(sd[f"{meta}.node_model.node_mlp_2.2.bias"]),
+        "gn_weight": _a(sd[f"{sge_prefix}.graph_layer_norm.weight"]),
+        "gn_bias": _a(sd[f"{sge_prefix}.graph_layer_norm.bias"]),
+        "gn_mean_scale": _a(sd[f"{sge_prefix}.graph_layer_norm.mean_scale"]),
     }
     stats["scene_graph_encoder"] = {
         "bbox_bn0": _bn_stats(sd, f"{sge_prefix}.bbox_encoding.0"),

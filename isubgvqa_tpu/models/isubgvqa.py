@@ -99,8 +99,8 @@ class ISubGVQA(nn.Module):
         x_enc, e_enc = SceneGraphEncoder(
             sg_vocab_size=self.sg_vocab_size, hidden_dim=hid,
             vocab_vectors=self.sg_vocab_vectors,
-            bn_axis_name=self.bn_axis_name, dtype=dtype,
-            name="scene_graph_encoder",
+            bn_axis_name=self.bn_axis_name, use_pallas=cfg.use_pallas,
+            dtype=dtype, name="scene_graph_encoder",
         )(batch, deterministic=not train)
 
         # ---- masked GAT stack (isubgvqa.py:267-278)

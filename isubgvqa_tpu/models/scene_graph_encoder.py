@@ -23,13 +23,17 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from ..data.batching import GraphBatch
-from ..ops.dense_graph import aggregate_edges, edge_onehot, gather_nodes
-from .layers import MLP, GraphNorm, MaskedBatchNorm
+from ..ops.pallas.metalayer_kernel import fused_metalayer, metalayer_reference
+from .layers import MaskedBatchNorm
+
+_lecun = nn.initializers.lecun_normal()
+_zeros = nn.initializers.zeros
 
 
 class SceneGraphEncoder(nn.Module):
@@ -38,7 +42,23 @@ class SceneGraphEncoder(nn.Module):
     sg_emb_dim: int = 300
     vocab_vectors: Optional[np.ndarray] = None   # GloVe init (host numpy)
     bn_axis_name: Optional[str] = None           # set for SyncBatchNorm parity
+    use_pallas: bool = True
     dtype: Optional[jnp.dtype] = None
+
+    def _meta_params(self):
+        c = self.hidden_dim
+        p = lambda name, shape, init=_lecun: self.param(name, init, shape)
+        return {
+            "ew1": p("edge_mlp_w1", (3 * c, c)), "eb1": p("edge_mlp_b1", (c,), _zeros),
+            "ew2": p("edge_mlp_w2", (c, c)), "eb2": p("edge_mlp_b2", (c,), _zeros),
+            "n1w1": p("node_mlp1_w1", (2 * c, c)), "n1b1": p("node_mlp1_b1", (c,), _zeros),
+            "n1w2": p("node_mlp1_w2", (c, c)), "n1b2": p("node_mlp1_b2", (c,), _zeros),
+            "n2w1": p("node_mlp2_w1", (2 * c, c)), "n2b1": p("node_mlp2_b1", (c,), _zeros),
+            "n2w2": p("node_mlp2_w2", (c, c)), "n2b2": p("node_mlp2_b2", (c,), _zeros),
+            "gn_w": p("gn_weight", (c,), nn.initializers.ones),
+            "gn_b": p("gn_bias", (c,), _zeros),
+            "gn_a": p("gn_mean_scale", (c,), nn.initializers.ones),
+        }
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic=True):
@@ -75,28 +95,13 @@ class SceneGraphEncoder(nn.Module):
         # ---- edge features; negate added symmetric edges (:76-80)
         e = embed(batch.edge_token) * batch.edge_sign[..., None].astype(x.dtype)
 
-        # ---- MetaLayer round (:107-146)
-        x_src = gather_nodes(x, batch.edge_src)               # [B, E, 300]
-        x_dst = gather_nodes(x, batch.edge_dst)
-        edge_in = jnp.concatenate([x_src, x_dst, e], axis=-1)  # [B, E, 900]
-        e_out = MLP((self.hidden_dim, self.hidden_dim), gelu_last=False,
-                    dtype=self.dtype, name="edge_mlp")(edge_in)
-
-        msg = jnp.concatenate([x_src, e_out], axis=-1)        # [B, E, 600]
-        msg = MLP((self.hidden_dim, self.hidden_dim), gelu_last=False,
-                  dtype=self.dtype, name="node_mlp_1")(msg)
-        oh_dst = edge_onehot(batch.edge_dst, x.shape[1], batch.edge_mask,
-                             dtype=msg.dtype)
-        agg_sum = aggregate_edges(msg, oh_dst)                # [B, N, 300]
-        degree = jnp.maximum(jnp.sum(oh_dst, axis=1), 1.0)    # [B, N]
-        agg = agg_sum / degree[..., None].astype(agg_sum.dtype)
-
-        x_out = jnp.concatenate([x, agg], axis=-1)
-        x_out = MLP((self.hidden_dim, self.hidden_dim), gelu_last=False,
-                    dtype=self.dtype, name="node_mlp_2")(x_out)
-
-        # ---- GraphNorm over each graph's nodes (:99-102)
-        x_out = GraphNorm(self.sg_emb_dim, name="graph_layer_norm")(
-            x_out, node_mask)
-
+        # ---- MetaLayer round + GraphNorm (:99-146), fused on TPU
+        params = self._meta_params()
+        dd = jax.config.jax_default_device
+        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
+        run_fused = (self.use_pallas and deterministic
+                     and jax.default_backend() == "tpu" and not pinned_cpu)
+        fn = fused_metalayer if run_fused else metalayer_reference
+        x_out, e_out = fn(x, e, batch.edge_src, batch.edge_dst,
+                          batch.edge_mask, batch.node_mask, params)
         return x_out, e_out

@@ -1,0 +1,79 @@
+"""Explanation runner + token-cooccurrence metrics + data bundle."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from isubgvqa_tpu.config import Config
+from isubgvqa_tpu.data.build import build_datasets
+from isubgvqa_tpu.explain import (
+    compute_ans_token_cooccurrence,
+    compute_qst_token_cooccurrence,
+    compute_text_expl_token_cooccurrence,
+    run_token_coo_exp,
+)
+from isubgvqa_tpu.models.build import build_model
+from isubgvqa_tpu.train.loop import Trainer
+
+from test_model import small_cfg
+
+
+def test_token_coo_metrics_reference_semantics():
+    objects = ["cat", "dog", "tree"]
+    mask = [1.0, 0.0, 1.0]
+    # answer-token coo: answer in masked objects and not a color question
+    val, n = compute_ans_token_cooccurrence(mask, "cat", "cat", objects,
+                                            "where is the cat?")
+    assert (val, n) == (1.0, 1)
+    val, n = compute_ans_token_cooccurrence(mask, "dog", "dog", objects,
+                                            "where is the dog?")
+    assert (val, n) == (0.0, 0)
+    # color questions are excluded (token_coo_fns.py:8)
+    val, n = compute_ans_token_cooccurrence(mask, "cat", "cat", objects,
+                                            "what color is the cat?")
+    assert np.isnan(val)
+
+    # question-token coo: fraction of question tokens that survive
+    val, n = compute_qst_token_cooccurrence(mask, objects,
+                                            "is the cat near the dog?")
+    assert n == 2 and val == 0.5
+    val, n = compute_qst_token_cooccurrence(mask, objects, "hello there?")
+    assert np.isnan(val)
+
+    # text-explanation coo
+    val = compute_text_expl_token_cooccurrence(mask, objects,
+                                               ["cat", "dog"], "q?")
+    assert val == 0.5
+    assert np.isnan(compute_text_expl_token_cooccurrence(mask, objects,
+                                                         ["sky"], "q?"))
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    cfg = dataclasses.replace(
+        small_cfg(), synthetic=True, synthetic_size=32, batch_size=4,
+        eval_batch_factor=2, meta_dir="", epochs=0)
+    data = build_datasets(cfg)
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
+    return cfg, data
+
+
+def test_build_datasets_synthetic(bundle):
+    cfg, data = bundle
+    assert set(data.datasets) == {"train", "dev", "testdev"}
+    assert len(data.datasets["train"]) == 32
+    # eval collators use the reference's batch x4 (here x2)
+    assert data.collators["dev"].spec.batch_size == 8
+
+
+def test_run_token_coo_exp_end_to_end(bundle, capsys):
+    cfg, data = bundle
+    model = build_model(cfg, data.vocab)
+    trainer = Trainer(cfg, model, data)
+    res = run_token_coo_exp(model=model, state=trainer.state, data=data,
+                            cfg=cfg, split="dev", max_batches=1)
+    out = capsys.readouterr().out
+    assert "Accuracy:" in out
+    assert res.num_samples == 8
+    assert 0.0 <= res.accuracy <= 1.0
