@@ -55,6 +55,31 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--text_sampling", action="store_true")
     p.add_argument("--sampler_type", type=str, default=None)
     p.add_argument("--sample_k", type=int, default=None)
+    p.add_argument("--node_classification", action="store_true")
+    # flags the reference parses but never uses in its live path
+    # (arg_parser.py:33-46,91,94,103-106,110,118-135) — accepted for
+    # invocation compatibility, ignored like the reference ignores them
+    p.add_argument("--lr_drop", default=30, type=int)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--wd", "--weight-decay", default=1e-4, type=float,
+                   dest="weight_decay")
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--evaluate_sets", default=["val_unbiased", "testdev"],
+                   nargs="+")
+    p.add_argument("--work_dir", default="./outputdir")
+    p.add_argument("--gnn_gating", type=int, default=1)
+    p.add_argument("--use_mgat", type=int, default=0)
+    p.add_argument("--embed_cat", type=int, default=0)
+    p.add_argument("--use_subgat", action="store_true")
+    p.add_argument("--bi_qa", action="store_true")
+    p.add_argument("--mask_regularization", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="no-op: SPMD needs no launcher plumbing")
+    p.add_argument("--device", type=str, default="tpu")
+    p.add_argument("--launcher", choices=["none", "pytorch", "slurm", "mpi"],
+                   default="none")
+    p.add_argument("--gpus", type=int, default=None)
+    p.add_argument("--gpu-ids", type=int, nargs="+", default=None)
     # data / TPU-native extensions
     p.add_argument("--data_dir", default=d.data_dir)
     p.add_argument("--meta_dir", default=d.meta_dir)

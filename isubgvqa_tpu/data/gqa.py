@@ -64,6 +64,22 @@ class AnswerMap:
         return cls.synthetic(n)
 
 
+def build_text_vocab(questions, tokenizer) -> dict:
+    """Build a word vocabulary from question texts.
+
+    Equivalent of the vestigial ``build_text_vocab``
+    (``datasets/gqa.py:16-52``; the reference builds but no longer uses
+    it, having switched to the CLIP tokenizer).  Returns stoi with the
+    five specials first.
+    """
+    tokens = []
+    for q in questions:
+        tokens.extend(tokenizer.tokenize(q.lower()))
+    unique = sorted(set(tokens))
+    specials = ["<unk>", "<pad>", "<sos>", "<eos>", "<self>"]
+    return {t: i for i, t in enumerate(specials + unique)}
+
+
 @dataclasses.dataclass
 class Sample:
     question_id: str
