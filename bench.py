@@ -68,8 +68,8 @@ def main():
     # repeated executions with identical inputs, so the benchmark
     # streams *distinct* batches (as real serving would) and only the
     # warmup batch repeats.
-    batch_size = 256
-    iters = 24
+    batch_size = 512
+    iters = 12
     model, params, batch_stats, batches, cfg = build_bench_setup(
         batch_size, num_batches=iters)
     dev = jax.devices()[0]
