@@ -197,3 +197,47 @@ def iterate_batches(
     if rem and not drop_last:
         chunk = idx[n_full * b:]
         yield collator.collate([dataset[int(j)] for j in chunk])
+
+
+def iterate_batches_bucketed(
+    dataset,
+    collators: dict,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> Iterator[tuple[GraphBatch, BatchMeta]]:
+    """Size-bucketed iteration: each sample goes to the smallest bucket
+    whose node cap fits its graph, so small graphs don't pay the
+    largest graph's padding.  ``collators`` maps node-cap -> Collator
+    (one jit specialization per bucket).  GQA's node-count distribution
+    (~17 mean, ~100 max) makes a (32, 128) pair a good default.
+    """
+    caps = sorted(collators.keys())
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    idx = idx[shard_index::num_shards]
+
+    per_bucket: dict = {c: [] for c in caps}
+    for j in idx:
+        n = dataset[int(j)].graph.num_nodes
+        cap = next((c for c in caps if n <= c), caps[-1])
+        per_bucket[cap].append(int(j))
+
+    rng = np.random.default_rng(seed + 1)
+    schedule = []
+    for cap in caps:
+        b = collators[cap].spec.batch_size
+        members = per_bucket[cap]
+        n_full = len(members) // b
+        for i in range(n_full):
+            schedule.append((cap, members[i * b:(i + 1) * b]))
+        rem = members[n_full * b:]
+        if rem and not drop_last:
+            schedule.append((cap, rem))
+    if shuffle:
+        rng.shuffle(schedule)
+    for cap, chunk in schedule:
+        yield collators[cap].collate([dataset[j] for j in chunk])
