@@ -45,7 +45,11 @@ def make_optimizer(base_lr: float, steps_per_epoch: int,
                    grad_clip_norm: float = 2.0) -> optax.GradientTransformation:
     sched = warmup_exponential_schedule(base_lr, steps_per_epoch,
                                         warmup_epochs, warmup_start_lr, gamma)
-    return optax.chain(
+    inner = optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),   # train_epoch.py:116
         optax.adam(sched),                           # main.py:106-111
     )
+    # GradScaler parity: torch's scaler.step skips the update when
+    # gradients contain inf/NaN (train_epoch.py:113-118); without this
+    # one bad batch poisons the parameters forever.
+    return optax.apply_if_finite(inner, max_consecutive_errors=int(1e8))
