@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import jax
 import numpy as np

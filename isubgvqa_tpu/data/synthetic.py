@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 
 from .gqa import AnswerMap, Sample
-from .scene_graph import SceneGraphStore, convert_scene_graph
+from .scene_graph import SceneGraphStore
 from .vocab import SceneGraphVocab
 
 _QUESTION_TEMPLATES = [

@@ -19,7 +19,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PositionalEncoding, PostLNTransformerLayer
+from .layers import PostLNTransformerLayer
 
 
 class TextEmbedding(nn.Module):

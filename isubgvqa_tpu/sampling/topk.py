@@ -10,7 +10,6 @@ Equivalent of the reference's ``select_from_edge_candidates``
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..ops.dense import dense_topk_mask
 

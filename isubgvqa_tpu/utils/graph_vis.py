@@ -9,7 +9,7 @@ them (above threshold / discrete 1), and saves the figure under
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
