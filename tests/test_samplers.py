@@ -220,3 +220,28 @@ def test_node_edge_mask_forward_backward():
     g = jax.grad(loss)(mask)
     # reference backward: grad scattered to dst only (node_edge_masks.py:13-19)
     np.testing.assert_allclose(np.asarray(g)[:, 0], [2.0, 1.0 + 3.0, 4.0])
+
+
+def test_simple_validation_deterministic():
+    from isubgvqa_tpu.sampling.simple import simple_validation
+
+    cfg = SimpleConfig(k=2)
+    scores = jnp.array([[0.5, 3.0, -1.0, 2.0]])
+    mask, marg = simple_validation(scores, jax.random.PRNGKey(0), cfg)
+    np.testing.assert_allclose(np.asarray(mask[0, 0]), [0, 1, 0, 1])
+    np.testing.assert_allclose(np.asarray(marg).sum(), 2.0, rtol=1e-4)
+
+
+def test_gumbel_train_ensemble():
+    cfg = GumbelSamplerConfig(k=2, train_ensemble=3)
+    out = gumbel_topk_sample(jnp.zeros((2, 6)), jax.random.PRNGKey(0), cfg,
+                             train=True)
+    assert out.shape == (3, 2, 6)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 2.0)
+
+
+def test_imle_nb_samples_axis():
+    cfg = IMLEConfig(k=2, nb_samples=5)
+    z = imle_topk(jnp.zeros((3, 7)), jax.random.PRNGKey(0), cfg)
+    assert z.shape == (5, 3, 7)
+    np.testing.assert_allclose(np.asarray(z.sum(-1)), 2.0)
