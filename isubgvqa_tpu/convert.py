@@ -106,6 +106,9 @@ def convert_state_dict(sd: Mapping[str, object],
     params: Dict = {}
     stats: Dict = {}
 
+    def have(prefix: str) -> bool:
+        return any(k.startswith(prefix) for k in sd)
+
     # ---- question encoder
     qe: Dict = {
         "text_vocab_embedding": {
@@ -145,9 +148,11 @@ def convert_state_dict(sd: Mapping[str, object],
         }
     params["program_decoder"] = pd
 
-    # ---- scene graph encoder
+    # ---- scene graph encoder (optional for partial checkpoints)
     sge_prefix = "scene_graph_encoder"
     meta = f"{sge_prefix}.scene_graph_encoding_layer"
+    if not have(sge_prefix):
+        return params, stats
     params["scene_graph_encoder"] = {
         "sg_vocab_embedding": {"embedding": _a(
             sd[f"{sge_prefix}.sg_vocab_embedding.weight"])},
