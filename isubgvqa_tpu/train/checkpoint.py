@@ -39,11 +39,14 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.output_dir, name)
 
-    def save(self, name: str, state: TrainState, epoch: int, cfg: Config):
+    def save(self, name: str, state: TrainState, epoch: int, cfg: Config,
+             _host_state=None):
         if not is_main_process():
             return
         path = self._path(name)
-        self._ckpt.save(path, jax.device_get(state), force=True)
+        host_state = _host_state if _host_state is not None \
+            else jax.device_get(state)
+        self._ckpt.save(path, host_state, force=True)
         with open(path + ".meta.json", "w") as f:
             json.dump({"epoch": epoch, "config": json.loads(cfg.to_json())}, f)
         self._ckpt.wait_until_finished()
@@ -52,16 +55,22 @@ class CheckpointManager:
                     val_loss: float, val_acc: float,
                     best_loss: float, best_acc: float) -> Tuple[float, float]:
         """Apply the reference's checkpoint policy; returns updated
-        (best_loss, best_acc)."""
+        (best_loss, best_acc).  The device->host transfer happens once
+        per epoch and is shared by all checkpoints written."""
+        host_state = jax.device_get(state) if is_main_process() else None
         if val_loss < best_loss:                      # train_loop.py:84-96
             best_loss = val_loss
-            self.save("checkpoint_lowest_val_loss", state, epoch, cfg)
+            self.save("checkpoint_lowest_val_loss", state, epoch, cfg,
+                      _host_state=host_state)
         if val_acc > best_acc:                        # train_loop.py:98-110
             best_acc = val_acc
-            self.save("checkpoint_top_res", state, epoch, cfg)
-        self.save("checkpoint", state, epoch, cfg)    # train_loop.py:115-130
+            self.save("checkpoint_top_res", state, epoch, cfg,
+                      _host_state=host_state)
+        self.save("checkpoint", state, epoch, cfg,    # train_loop.py:115-130
+                  _host_state=host_state)
         if (epoch + 1) % 50 == 0:
-            self.save(f"checkpoint{epoch:04d}", state, epoch, cfg)
+            self.save(f"checkpoint{epoch:04d}", state, epoch, cfg,
+                      _host_state=host_state)
         return best_loss, best_acc
 
     def restore(self, name: str, target: TrainState
