@@ -1,0 +1,19 @@
+.PHONY: test bench train explain dryrun docs
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+train:
+	bash scripts/run_training.sh imle 2 256
+
+explain:
+	python run_token_coo.py --ckpt outputdir/checkpoint_top_res
+
+dryrun:
+	python __graft_entry__.py
+
+docs:
+	sphinx-build -b html docs docs/_build/html

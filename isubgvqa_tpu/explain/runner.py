@@ -60,6 +60,7 @@ def run_token_coo_exp(
     save_expl: bool = False,
     expl_dir: Optional[str] = None,
     run: Optional[str] = None,
+    save_qst_meta_data: bool = False,
     max_batches: Optional[int] = None,
     seed: int = 0,
 ) -> ExplainResults:
@@ -133,6 +134,9 @@ def run_token_coo_exp(
                         threshold=0.0))
 
             if save_expl and expl_dir is not None:
+                import json
+                import os
+
                 from ..utils.graph_vis import save_graph
 
                 save_graph(
@@ -144,6 +148,17 @@ def run_token_coo_exp(
                     filename=f"{meta.question_ids[s]}_{run}.pdf",
                     mode="discrete", img_id=meta.image_ids[s],
                     q_id=meta.question_ids[s], threshold=0.0)
+                if save_qst_meta_data:   # run_token_coo.py:130-140
+                    qdir = os.path.join(expl_dir, str(meta.image_ids[s]),
+                                        str(meta.question_ids[s]))
+                    os.makedirs(qdir, exist_ok=True)
+                    with open(os.path.join(
+                            qdir,
+                            f"{meta.question_ids[s]}_{run}_qst_meta_data.json"),
+                            "w") as f:
+                        json.dump({"question": question_raw,
+                                   "answer": answer_str,
+                                   "label": label_gt}, f)
 
     def nanmean(xs):
         vals = [x[0] if isinstance(x, tuple) else x for x in xs]

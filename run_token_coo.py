@@ -25,6 +25,7 @@ def main(argv=None):
                    help="orbax checkpoint path (e.g. outputdir/checkpoint_top_res)")
     p.add_argument("--split", default="dev", choices=["dev", "testdev"])
     p.add_argument("--save_expl", action="store_true")
+    p.add_argument("--save_qst_meta_data", action="store_true")
     p.add_argument("--expl_dir", default="./saved_explanations")
     p.add_argument("--run", default="run")
     p.add_argument("--max_batches", type=int, default=None)
@@ -62,6 +63,7 @@ def main(argv=None):
     run_token_coo_exp(
         model=model, state=state, data=data, cfg=cfg, split=args.split,
         save_expl=args.save_expl, expl_dir=args.expl_dir, run=args.run,
+        save_qst_meta_data=args.save_qst_meta_data,
         max_batches=args.max_batches,
     )
 
