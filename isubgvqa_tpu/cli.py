@@ -175,7 +175,8 @@ def main(argv=None) -> None:
     if cfg.resume:
         if os.path.exists(os.path.join(cfg.output_dir, cfg.resume)) or \
                 os.path.exists(cfg.resume):
-            start_epoch, ckpt_cfg = trainer.resume(cfg.resume)
+            start_epoch, ckpt_cfg = trainer.resume(
+                cfg.resume, model_only=cfg.evaluate)   # main.py:131
             if not cfg.evaluate:
                 cfg = dataclasses.replace(cfg, start_epoch=start_epoch)
                 trainer.cfg = cfg

@@ -73,12 +73,27 @@ class CheckpointManager:
                       _host_state=host_state)
         return best_loss, best_acc
 
-    def restore(self, name: str, target: TrainState
+    def restore(self, name: str, target: TrainState, model_only: bool = False
                 ) -> Tuple[TrainState, int, Optional[Config]]:
         """Resume (main.py:124-139): restores the state; returns
-        (state, next_start_epoch, checkpointed config)."""
+        (state, next_start_epoch, checkpointed config).
+
+        ``model_only`` restores params/batch-stats/AIMLE state but not
+        the optimizer — the reference's eval-time behavior
+        (main.py:131: optimizer/scheduler only when not evaluating).
+        This also tolerates optimizer-structure drift across versions.
+        """
         path = name if os.path.isabs(name) else self._path(name)
-        state = self._ckpt.restore(path, target=jax.device_get(target))
+        if model_only:
+            raw = self._ckpt.restore(path)
+            replacements = dict(params=raw["params"],
+                                batch_stats=raw["batch_stats"])
+            if target.aimle_states is not None and raw.get("aimle_states"):
+                replacements["aimle_states"] = jax.tree_util.tree_map(
+                    lambda t, r: r, target.aimle_states, raw["aimle_states"])
+            state = target.replace(**replacements)
+        else:
+            state = self._ckpt.restore(path, target=jax.device_get(target))
         epoch, cfg = -1, None
         meta_path = path + ".meta.json"
         if os.path.isfile(meta_path):

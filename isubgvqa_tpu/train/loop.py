@@ -147,9 +147,10 @@ class Trainer:
                       flush=True)
         return top_accuracy
 
-    def resume(self, path: str):
-        """main.py:124-139 (config comes from the checkpoint meta)."""
+    def resume(self, path: str, model_only: bool = False):
+        """main.py:124-139 (config comes from the checkpoint meta;
+        model-only when evaluating, main.py:131)."""
         state, start_epoch, ckpt_cfg = self.ckpt.restore(
-            path, jax.device_get(self.state))
+            path, jax.device_get(self.state), model_only=model_only)
         self.state = replicate(state, self.mesh)
         return start_epoch, ckpt_cfg
