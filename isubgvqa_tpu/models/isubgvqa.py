@@ -54,7 +54,22 @@ class ISubGVQA(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False,
-                 aimle_states: Optional[dict] = None) -> ModelOutput:
+                 aimle_states: Optional[dict] = None,
+                 explainer: bool = False, explainer_stage: int = 0,
+                 expl_bypass_x: Optional[jax.Array] = None):
+        """Forward.  With ``explainer`` set, supports the reference's
+        external-explainer protocol (``isubgvqa.py:249-253,294-295``):
+        ``explainer_stage == 0`` injects ``expl_bypass_x [B, N, 300]``
+        as the scene-graph token-embedding sum
+        (``scene_graph_encoder.py:64-74``); ``explainer_stage == i >=
+        1`` injects it as MGAT layer ``i-1``'s input
+        (``mgat.py:140-141``); and the return value is the bare logits
+        array (``isubgvqa.py:294-295``).  The reference's
+        stage-dependent input *swap* (``isubgvqa.py:249-253``) is not
+        reproduced literally: it routes raw token ids into float
+        feature slots (dead code in the reference's own entry points);
+        the injection points here carry its coherent intent.
+        """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         hid = cfg.general_hidden_dim            # 300
@@ -101,7 +116,10 @@ class ISubGVQA(nn.Module):
             vocab_vectors=self.sg_vocab_vectors,
             bn_axis_name=self.bn_axis_name, use_pallas=cfg.use_pallas,
             dtype=dtype, name="scene_graph_encoder",
-        )(batch, deterministic=not train)
+        )(batch, deterministic=not train,
+          expl_x_embed_sum=(expl_bypass_x
+                            if explainer and explainer_stage == 0
+                            else None))
 
         # ---- masked GAT stack (isubgvqa.py:267-278)
         x_mgat, imle_mask, node_masks, edge_attns, node_logits_layers = MGAT(
@@ -116,7 +134,9 @@ class ISubGVQA(nn.Module):
             beta=cfg.beta, tau=cfg.tau, use_pallas=cfg.use_pallas,
             dtype=dtype, name="gat_seq",
         )(x_enc, batch, e_enc, instr, lang, train=train,
-          aimle_states=aimle_states)
+          aimle_states=aimle_states, explainer=explainer,
+          explainer_stage=explainer_stage,
+          expl_bypass_x=(expl_bypass_x if explainer_stage >= 1 else None))
 
         # ---- pooling + fusion classifier (isubgvqa.py:280-292)
         pooled, gate = GlobalAttentionPooling(
@@ -126,9 +146,12 @@ class ISubGVQA(nn.Module):
 
         fused = jnp.concatenate([pooled, lang, pooled * lang], axis=1)
         fused = nn.Dense(512, dtype=dtype, name="embedding")(fused)
-        fused = nn.gelu(fused)
+        fused = nn.gelu(fused, approximate=False)
         fused = nn.Dropout(0.2)(fused, deterministic=not train)
         logits = nn.Dense(cfg.num_answers, dtype=dtype, name="logit_fc")(fused)
+
+        if explainer:                          # isubgvqa.py:294-295
+            return logits.astype(jnp.float32)
 
         return ModelOutput(
             logits=logits.astype(jnp.float32),

@@ -31,7 +31,7 @@ class MLP(nn.Module):
             x = nn.Dense(f, use_bias=self.use_bias, dtype=self.dtype,
                          name=f"lin{i}")(x)
             if i < len(self.features) - 1 or self.gelu_last:
-                x = nn.gelu(x)
+                x = nn.gelu(x, approximate=False)
         return x
 
 

@@ -108,7 +108,7 @@ class MaskingModel(nn.Module):
             gate = jnp.einsum("bnd,bd->bn", xq, uq,
                               preferred_element_type=jnp.float32)
             gate = (gate / math.sqrt(xq.shape[-1]))[..., None]  # :151-153
-            gate = nn.gelu(gate.astype(xq.dtype))
+            gate = nn.gelu(gate.astype(xq.dtype), approximate=False)
 
         new_state = None
         if self.use_topk:

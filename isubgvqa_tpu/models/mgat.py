@@ -134,7 +134,7 @@ class MGATLayer(nn.Module):
                     h_in.shape[:2] + instruction.shape[-1:])
                 xf = jnp.concatenate([h_in, ins_b], axis=-1)
             else:
-                xf = nn.gelu(h_in * instruction[:, None, :])
+                xf = nn.gelu(h_in * instruction[:, None, :], approximate=False)
         else:
             xf = h_in
 
@@ -209,9 +209,17 @@ class MGAT(nn.Module):
         global_language_feats: jax.Array,  # [B, C]
         train: bool = False,
         aimle_states: Optional[dict] = None,
+        explainer: bool = False,
+        explainer_stage: int = 0,
+        expl_bypass_x: Optional[jax.Array] = None,
     ):
         """-> (h, last_mask | None, node_masks list, edge_attns list,
-        node_logits_layers list)."""
+        node_logits_layers list).
+
+        Explainer bypass (``mgat.py:140-141``): with ``explainer``,
+        layer ``explainer_stage - 1`` receives ``expl_bypass_x``
+        ``[B, N, C]`` as its input instead of the running ``h``.
+        """
         in_ch = self.channels * 2 if self.concat_instr else self.channels
         h, c = self.heads, self.channels
         hcur = x
@@ -243,6 +251,8 @@ class MGAT(nn.Module):
 
         for i in range(self.num_ins):
             ins = instr_vectors[:, i, :]            # [B, C]
+            if explainer and (explainer_stage - 1) == i:   # mgat.py:140-141
+                hcur = jnp.asarray(expl_bypass_x, hcur.dtype)
             st = (aimle_states or {}).get(i)
             hcur, m_i, alpha = MGATLayer(
                 in_channels=in_ch, out_channels=self.channels,

@@ -61,8 +61,15 @@ class SceneGraphEncoder(nn.Module):
         }
 
     @nn.compact
-    def __call__(self, batch: GraphBatch, deterministic=True):
-        """-> (x_encoded [B, N, 300], edge_attr_encoded [B, E, 300])."""
+    def __call__(self, batch: GraphBatch, deterministic=True,
+                 expl_x_embed_sum=None):
+        """-> (x_encoded [B, N, 300], edge_attr_encoded [B, E, 300]).
+
+        ``expl_x_embed_sum`` is the external-explainer bypass
+        (``scene_graph_encoder.py:64-74``, explainer stage 0): when
+        given, it replaces the vocab-embedding token-sum — the bbox
+        branch, reduction, and MetaLayer still run on top of it.
+        """
         if self.vocab_vectors is not None:
             init = lambda *_: jnp.asarray(self.vocab_vectors, jnp.float32)
         else:
@@ -75,7 +82,10 @@ class SceneGraphEncoder(nn.Module):
         use_ra = deterministic
 
         # ---- node features: token-sum ⊕ bbox MLP -> reduc (:63-74)
-        x_sum = jnp.sum(embed(batch.node_tokens), axis=-2)    # [B, N, 300]
+        if expl_x_embed_sum is not None:
+            x_sum = jnp.asarray(expl_x_embed_sum)             # [B, N, 300]
+        else:
+            x_sum = jnp.sum(embed(batch.node_tokens), axis=-2)  # [B, N, 300]
 
         bb = batch.node_bbox.astype(x_sum.dtype)
         bb = MaskedBatchNorm(4, axis_name=self.bn_axis_name, name="bbox_bn0")(
@@ -90,7 +100,7 @@ class SceneGraphEncoder(nn.Module):
                             name="reduc_bn")(x, mask=node_mask,
                                              use_running_average=use_ra)
         x = nn.gelu(nn.Dense(self.sg_emb_dim, dtype=self.dtype,
-                             name="reduc_lin")(x))
+                             name="reduc_lin")(x), approximate=False)
 
         # ---- edge features; negate added symmetric edges (:76-80)
         e = embed(batch.edge_token) * batch.edge_sign[..., None].astype(x.dtype)

@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .activations import gelu_exact
+
 _NEG = -1.0e30
 
 
@@ -140,10 +142,10 @@ def _kernel(
     # x_proj MLP 1200 -> 600 -> 300 with GELUs (mgat.py:79-89)
     p = jnp.dot(conv.astype(w1_ref.dtype), w1_ref[:],
                 preferred_element_type=f32) + b1_ref[:].astype(f32)
-    p = jax.nn.gelu(p)
+    p = gelu_exact(p)
     p = jnp.dot(p.astype(w2_ref.dtype), w2_ref[:],
                 preferred_element_type=f32) + b2_ref[:].astype(f32)
-    p = jax.nn.gelu(p)                                       # [N, C]
+    p = gelu_exact(p)                                       # [N, C]
 
     # instruction-conditioned SDP reweighting over the graph's nodes
     ins = instr_ref[:].astype(f32)                           # [1, C]
@@ -212,14 +214,6 @@ def fused_gat_layer(
 
     kernel = functools.partial(_kernel, negative_slope=negative_slope,
                                apply_mask_to_h=apply_mask_to_h)
-
-    def bspec(shape, with_batch=True):
-        if with_batch:
-            return pl.BlockSpec((1,) + shape,
-                                lambda i: (i,) + (0,) * len(shape),
-                                memory_space=pltpu.ANY if False else pltpu.VMEM)
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
 
     # per-graph inputs carry a leading block dim of 1; reshape inside
     # is implicit because BlockSpec slices to [1, ...] — Pallas refs
@@ -308,9 +302,24 @@ def pack_gat_params(heads: int, out_channels: int, wl, bl, wr, br, att,
 
 def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
                         eproj, params, negative_slope=0.2,
-                        apply_mask_to_h=False):
+                        apply_mask_to_h=False, egate=None):
     """Pure-XLA reference of the fused kernel (same math, op-by-op) —
-    used for kernel correctness tests and as the fallback path."""
+    the differentiable training path and the fallback/verification
+    path.
+
+    The node-gate→edge-gate step routes through
+    :func:`~isubgvqa_tpu.sampling.node_edge.dense_node_gate_to_edge_gate`,
+    whose custom VJP reproduces the reference's dst-only mask backward
+    (``sampling/node_edge_masks.py:13-19``; applied at
+    ``mgat_v2_conv.py:169-171``) instead of the product rule.  The
+    fused Pallas kernel shares the identical *forward*; it runs at
+    inference only, so it carries no backward of its own.
+
+    ``egate`` overrides the computed edge gate (used by gradient
+    parity tests to read the cotangent arriving at the edge gate).
+    """
+    from ...sampling.node_edge import dense_node_gate_to_edge_gate
+
     f32 = jnp.float32
     b, n, c = h.shape
     hc = params["wl"].shape[1]
@@ -324,8 +333,8 @@ def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     xs = jnp.einsum("ben,bnh->beh", oh_src, x_l)
     xd = jnp.einsum("ben,bnh->beh", oh_dst, x_r)
     m = xs + xd + eproj.astype(f32)
-    egate = (jnp.einsum("ben,bnk->bek", oh_src, gate.astype(f32))
-             * jnp.einsum("ben,bnk->bek", oh_dst, gate.astype(f32)))
+    if egate is None:
+        egate = dense_node_gate_to_edge_gate(gate.astype(f32), oh_src, oh_dst)
     m = m * egate
     m = jnp.where(m >= 0, m, m * negative_slope)
     m = m * egate
@@ -344,9 +353,9 @@ def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     w_bcast = jnp.einsum("beh,hk->bek", w_edge, params["expand"].astype(f32))
     conv = jnp.einsum("ben,beh->bnh", oh_dst, xs * w_bcast) + params["cbias"]
     p = jnp.einsum("bnh,hp->bnp", conv, params["w1"].astype(f32)) + params["b1"]
-    p = jax.nn.gelu(p)
+    p = jax.nn.gelu(p, approximate=False)
     p = jnp.einsum("bnp,pc->bnc", p, params["w2"].astype(f32)) + params["b2"]
-    p = jax.nn.gelu(p)
+    p = jax.nn.gelu(p, approximate=False)
     sdp_logits = jnp.einsum("bnc,bc->bn", p, instr.astype(f32))
     sdp_logits = sdp_logits / math.sqrt(p.shape[-1])
     sdp_logits = jnp.where(node_mask, sdp_logits, _NEG)

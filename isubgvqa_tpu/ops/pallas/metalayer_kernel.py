@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .activations import gelu_exact
+
 
 def _kernel(
     x_ref,        # [N, C]  encoded node features
@@ -65,7 +67,7 @@ def _kernel(
          + jnp.dot(xd, ew1[c:2 * c], preferred_element_type=f32)
          + jnp.dot(eattr, ew1[2 * c:], preferred_element_type=f32)
          + eb1_ref[:].astype(f32))
-    h = jax.nn.gelu(h)
+    h = gelu_exact(h)
     e_out = jnp.dot(h, ew2_ref[:].astype(f32),
                     preferred_element_type=f32) + eb2_ref[:].astype(f32)
     e_out_ref[:] = e_out.astype(e_out_ref.dtype)
@@ -75,7 +77,7 @@ def _kernel(
     m = (jnp.dot(xs, n1w1[:c], preferred_element_type=f32)
          + jnp.dot(e_out, n1w1[c:], preferred_element_type=f32)
          + n1b1_ref[:].astype(f32))
-    m = jax.nn.gelu(m)
+    m = gelu_exact(m)
     m = jnp.dot(m, n1w2_ref[:].astype(f32),
                 preferred_element_type=f32) + n1b2_ref[:].astype(f32)
     m = m * emask
@@ -87,7 +89,7 @@ def _kernel(
     out = (jnp.dot(x, n2w1[:c], preferred_element_type=f32)
            + jnp.dot(agg, n2w1[c:], preferred_element_type=f32)
            + n2b1_ref[:].astype(f32))
-    out = jax.nn.gelu(out)
+    out = gelu_exact(out)
     out = jnp.dot(out, n2w2_ref[:].astype(f32),
                   preferred_element_type=f32) + n2b2_ref[:].astype(f32)
 
@@ -175,12 +177,12 @@ def metalayer_reference(x, e_attr, src, dst, edge_mask, node_mask, params):
     ew1 = params["ew1"].astype(f32)
     h = (xs @ ew1[:c] + xd @ ew1[c:2 * c] + ef @ ew1[2 * c:]
          + params["eb1"].astype(f32))
-    h = jax.nn.gelu(h)
+    h = jax.nn.gelu(h, approximate=False)
     e_out = h @ params["ew2"].astype(f32) + params["eb2"].astype(f32)
 
     n1w1 = params["n1w1"].astype(f32)
     m = xs @ n1w1[:c] + e_out @ n1w1[c:] + params["n1b1"].astype(f32)
-    m = jax.nn.gelu(m)
+    m = jax.nn.gelu(m, approximate=False)
     m = m @ params["n1w2"].astype(f32) + params["n1b2"].astype(f32)
     m = m * edge_mask[..., None]
     agg = jnp.einsum("ben,bec->bnc", oh_dst, m)
@@ -189,7 +191,7 @@ def metalayer_reference(x, e_attr, src, dst, edge_mask, node_mask, params):
 
     n2w1 = params["n2w1"].astype(f32)
     out = xf @ n2w1[:c] + agg @ n2w1[c:] + params["n2b1"].astype(f32)
-    out = jax.nn.gelu(out)
+    out = jax.nn.gelu(out, approximate=False)
     out = out @ params["n2w2"].astype(f32) + params["n2b2"].astype(f32)
 
     nm = node_mask[..., None].astype(f32)

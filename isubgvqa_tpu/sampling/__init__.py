@@ -14,17 +14,22 @@ contain no data-dependent Python control flow, so they compile once.
 
 from .topk import topk_mask
 from .noise import gumbel_noise, sum_of_gamma_noise
-from .gumbel import gumbel_topk_sample, GumbelSamplerConfig
+from .gumbel import gumbel_topk_sample, gumbel_validation, GumbelSamplerConfig
 from .imle import imle_topk, IMLEConfig
 from .aimle import aimle_topk, AIMLEConfig, AIMLEState, init_aimle_state
 from .simple import simple_sample, exact_k_marginals, SimpleConfig
-from .node_edge import node_mask_to_edge_mask
+from .node_edge import node_mask_to_edge_mask, dense_node_gate_to_edge_gate
+from .rewiring import (batch_repeat_edge_index,
+                       batched_edge_index_to_batched_adj, masked_softmax,
+                       non_merge_coalesce, rewire_global_directed,
+                       rewire_global_undirected, weighted_cross_entropy)
 
 __all__ = [
     "topk_mask",
     "gumbel_noise",
     "sum_of_gamma_noise",
     "gumbel_topk_sample",
+    "gumbel_validation",
     "GumbelSamplerConfig",
     "imle_topk",
     "IMLEConfig",
@@ -36,4 +41,12 @@ __all__ = [
     "exact_k_marginals",
     "SimpleConfig",
     "node_mask_to_edge_mask",
+    "dense_node_gate_to_edge_gate",
+    "batch_repeat_edge_index",
+    "batched_edge_index_to_batched_adj",
+    "masked_softmax",
+    "non_merge_coalesce",
+    "rewire_global_directed",
+    "rewire_global_undirected",
+    "weighted_cross_entropy",
 ]

@@ -5,6 +5,15 @@ TPU-native equivalent of ``GumbelSampler``
 k rounds of temperature-softmax with a log(1 - selected) mask
 accumulator, then a hard top-k straight-through estimator.  The k-round
 loop has a static trip count so it unrolls/fuses under ``jit``.
+
+Eval semantics (reference parity, pinned by
+``tests/test_samplers.py::test_gumbel_eval_is_noisy_forward``): the
+masking head calls the sampler's *forward* with ``train=False``
+(``masking.py:175``), which still adds Gumbel noise — ``train`` only
+selects the ensemble size (``gumbel_scheme.py:26,63``).  The
+deterministic ``validation()`` method (``gumbel_scheme.py:109-123``)
+exists but is never reached from the masking path; it is provided here
+as :func:`gumbel_validation` for capability parity.
 """
 
 from __future__ import annotations
@@ -47,17 +56,16 @@ def gumbel_topk_sample(
     cfg: GumbelSamplerConfig,
     train: bool = True,
 ) -> jax.Array:
-    """Sample ensemble of hard top-k masks; returns ``[S, B, N]``.
+    """Sample an ensemble of hard top-k masks; returns ``[S, B, N]``.
 
-    Train path follows ``gumbel_scheme.py:26-107``; the eval path with
-    ``val_ensemble == 1`` is the deterministic top-k
-    (``gumbel_scheme.py:109-121``).
+    Follows ``gumbel_scheme.py:26-107`` for *both* train and eval:
+    ``train`` only picks the ensemble size (``:26,63``) — Gumbel noise
+    is added either way, so eval masks are stochastic exactly as the
+    reference's are when the masking head calls ``sampler(gate,
+    train=False)`` (``masking.py:175``).
     """
     b, n = scores.shape
     local_k = min(cfg.k, n)
-    if not train and cfg.val_ensemble == 1:
-        return topk_mask(jax.lax.stop_gradient(scores), local_k)[None]
-
     repeat = cfg.train_ensemble if train else cfg.val_ensemble
     tiled = jnp.broadcast_to(scores[None], (repeat, b, n)).reshape(repeat * b, n)
     g = jax.random.gumbel(key, tiled.shape, dtype=tiled.dtype)
@@ -69,3 +77,19 @@ def gumbel_topk_sample(
     else:
         res = khot
     return res.reshape(repeat, b, n)
+
+
+def gumbel_validation(
+    scores: jax.Array,
+    key: Optional[jax.Array],
+    cfg: GumbelSamplerConfig,
+) -> jax.Array:
+    """``GumbelSampler.validation`` (``gumbel_scheme.py:109-123``):
+    deterministic top-k when ``val_ensemble == 1``, else the noisy
+    forward.  Capability parity only — the reference's masking path
+    never calls it (it always uses the forward, ``masking.py:175``).
+    Returns ``[S, B, N]``."""
+    if cfg.val_ensemble == 1:
+        return topk_mask(jax.lax.stop_gradient(scores),
+                         min(cfg.k, scores.shape[-1]))[None]
+    return gumbel_topk_sample(scores, key, cfg, train=False)

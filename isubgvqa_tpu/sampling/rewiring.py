@@ -79,3 +79,77 @@ def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def batched_edge_index_to_batched_adj(
+    src: jax.Array,                 # [B, E] within-graph positions
+    dst: jax.Array,                 # [B, E]
+    edge_mask: jax.Array,           # [B, E] validity
+    node_mask: jax.Array,           # [B, N] validity
+):
+    """Dense-layout ``batched_edge_index_to_batched_adj``
+    (``tensor_utils.py:8-47``): returns ``(original_adj, rewire_adj)``
+    as boolean ``[B, N, N]`` adjacencies.
+
+    ``original_adj`` marks every existing edge; ``rewire_adj`` is the
+    "don't sample here" mask for the global rewiring policies —
+    existing *non-loop* edges plus the full diagonal of valid nodes
+    (the reference strips existing self-loops then re-adds one per
+    node, ``tensor_utils.py:27-39``).  The reference's sparse index
+    triples become dense masks because :func:`rewire_global_directed`
+    consumes dense ``[B, N, N]`` here (scatter-free TPU layout).
+    """
+    n = node_mask.shape[1]
+    oh_src = jax.nn.one_hot(src, n, dtype=jnp.float32)
+    oh_dst = jax.nn.one_hot(dst, n, dtype=jnp.float32)
+    ev = edge_mask.astype(jnp.float32)[..., None]
+    original = jnp.einsum("ben,bem->bnm", oh_src * ev, oh_dst) > 0
+    eye = jnp.eye(n, dtype=bool)[None]
+    non_loop = original & ~eye
+    diag = eye & node_mask[:, :, None] & node_mask[:, None, :]
+    return original, non_loop | diag
+
+
+def non_merge_coalesce(src: jax.Array, dst: jax.Array,
+                       edge_attr: jax.Array | None,
+                       edge_weight: jax.Array | None,
+                       num_nodes: int,
+                       edge_mask: jax.Array | None = None,
+                       sort_by_row: bool = True):
+    """``tensor_utils.py:91-114``: sort edges lexicographically by
+    (row, col) — or (col, row) — carrying attrs/weights along,
+    WITHOUT merging duplicates.  Jit-safe: a stable argsort on the
+    fused ``major * num_nodes + minor`` key; invalid (padded) edges
+    sort to the end.  Works on ``[E]`` or batched ``[B, E]`` indices.
+    """
+    major, minor = (src, dst) if sort_by_row else (dst, src)
+    key = major.astype(jnp.int32) * num_nodes + minor.astype(jnp.int32)
+    if edge_mask is not None:
+        key = jnp.where(edge_mask, key, jnp.iinfo(jnp.int32).max)
+    perm = jnp.argsort(key, axis=-1, stable=True)
+
+    def take(x):
+        return jnp.take_along_axis(x, perm, axis=-1) if x.ndim == perm.ndim \
+            else jnp.take_along_axis(
+                x, perm.reshape(perm.shape + (1,) * (x.ndim - perm.ndim)),
+                axis=perm.ndim - 1)
+
+    out = (take(src), take(dst),
+           take(edge_attr) if edge_attr is not None else None,
+           take(edge_weight) if edge_weight is not None else None)
+    if edge_mask is not None:
+        out = out + (take(edge_mask),)
+    return out
+
+
+def batch_repeat_edge_index(edge_index: jax.Array, num_nodes: int,
+                            repeats: int) -> jax.Array:
+    """``tensor_utils.py:117-124``: tile a flat ``[2, E]`` edge index
+    ``repeats`` times, offsetting each copy by ``num_nodes`` (ensemble
+    batching for the rewiring samplers)."""
+    if repeats == 1:
+        return edge_index
+    e = edge_index.shape[1]
+    offsets = (jnp.arange(repeats, dtype=edge_index.dtype)
+               * num_nodes).repeat(e)
+    return jnp.tile(edge_index, (1, repeats)) + offsets[None, :]

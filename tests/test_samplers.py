@@ -34,10 +34,38 @@ def test_gumbel_train_exactly_k():
     assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
 
 
-def test_gumbel_eval_deterministic_topk():
+def test_gumbel_eval_is_noisy_forward():
+    """Parity pin (masking.py:175 + gumbel_scheme.py:26,63): eval calls
+    the sampler *forward*, which still adds Gumbel noise — ``train``
+    only selects the ensemble size.  The eval mask must therefore
+    match the train-path computation with the same key, and must not
+    always equal the deterministic top-k."""
     cfg = GumbelSamplerConfig(k=2)
     scores = jnp.array([[0.0, 5.0, 1.0, 4.0]])
-    out = gumbel_topk_sample(scores, None, cfg, train=False)
+    key = jax.random.PRNGKey(1)
+    out_eval = gumbel_topk_sample(scores, key, cfg, train=False)
+    out_train = gumbel_topk_sample(scores, key, cfg, train=True)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_train))
+    np.testing.assert_allclose(np.asarray(out_eval.sum(-1)), 2.0)
+
+    # over many keys, noise must flip the selection at least once
+    det = np.array([0, 1, 0, 1], np.float32)
+    flipped = any(
+        not np.allclose(
+            np.asarray(gumbel_topk_sample(scores, jax.random.PRNGKey(s),
+                                          cfg, train=False)[0, 0]), det)
+        for s in range(64))
+    assert flipped
+
+
+def test_gumbel_validation_deterministic_topk():
+    """gumbel_scheme.py:109-123 — capability parity for the (unused
+    from the masking path) ``validation()`` method."""
+    from isubgvqa_tpu.sampling import gumbel_validation
+
+    cfg = GumbelSamplerConfig(k=2)
+    scores = jnp.array([[0.0, 5.0, 1.0, 4.0]])
+    out = gumbel_validation(scores, None, cfg)
     np.testing.assert_allclose(np.asarray(out[0, 0]), [0, 1, 0, 1])
 
 

@@ -1,0 +1,506 @@
+"""Golden parity for the graph side vs a plain-torch transcription of
+the reference's actual computation.
+
+PyG is not installed here, but every PyG/torch_scatter op the reference
+uses reduces to index arithmetic, so the reference layer math
+(``mgat_v2_conv.py:243-279``, ``scene_graph_encoder.py:53-146``,
+``mgat.py:110-184``, ``att_pooling.py:57-77``,
+``utils/scatter_scaled_dot_product.py:6-15``, PyG ``GraphNorm``) is
+transcribed below into test-local plain torch (``index_add_`` in place
+of ``torch_scatter``), weights are pushed through
+``convert_state_dict``, and the flax modules must agree numerically on
+fixture graphs.
+
+The full-model check runs the torch reference at batch size 1 per
+sample: at B=1 the reference's cross-sample ``.view`` scramble
+(``isubgvqa.py:244-246``) is a no-op, so the documented deviation
+(see ``models/isubgvqa.py``) does not separate the implementations.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from isubgvqa_tpu.convert import convert_state_dict
+from isubgvqa_tpu.data import (AnswerMap, BucketSpec, Collator,
+                               HashWordTokenizer, SceneGraphVocab,
+                               SyntheticGQA)
+from isubgvqa_tpu.models.build import build_model
+
+from test_model import small_cfg
+
+C = 300          # general_hidden_dim (reference hard-codes 300)
+D = 512          # text_emb_dim
+HEADS = 4        # gat heads
+NINS = 4         # mgat layers
+
+
+# --------------------------------------------------------------- torch ref
+
+def segment_softmax(logits, index, num_seg):
+    """torch_geometric.utils.softmax / torch_scatter.scatter_softmax."""
+    shape = (num_seg,) + logits.shape[1:]
+    seg_max = torch.full(shape, -1e30, dtype=logits.dtype)
+    seg_max = seg_max.index_reduce(0, index, logits, "amax",
+                                   include_self=True)
+    ex = torch.exp(logits - seg_max[index])
+    denom = torch.zeros(shape, dtype=logits.dtype).index_add(0, index, ex)
+    return ex / denom[index]
+
+
+def scatter_mean(src, index, num_seg):
+    out = torch.zeros((num_seg,) + src.shape[1:], dtype=src.dtype)
+    out = out.index_add(0, index, src)
+    cnt = torch.zeros(num_seg, dtype=src.dtype).index_add(
+        0, index, torch.ones(src.shape[0], dtype=src.dtype))
+    return out / cnt.clamp(min=1.0).view(-1, *([1] * (src.dim() - 1)))
+
+
+def scatter_add(src, index, num_seg):
+    out = torch.zeros((num_seg,) + src.shape[1:], dtype=src.dtype)
+    return out.index_add(0, index, src)
+
+
+class GraphNormRef(torch.nn.Module):
+    """torch_geometric.nn.norm.GraphNorm."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = torch.nn.Parameter(torch.ones(dim))
+        self.bias = torch.nn.Parameter(torch.zeros(dim))
+        self.mean_scale = torch.nn.Parameter(torch.ones(dim))
+
+    def forward(self, x, batch):
+        num_seg = int(batch.max()) + 1
+        mean = scatter_mean(x, batch, num_seg)
+        out = x - mean[batch] * self.mean_scale
+        var = scatter_mean(out * out, batch, num_seg)
+        std = (var + 1e-5).sqrt()
+        return self.weight * out / std[batch] + self.bias
+
+
+class MetaLayerRef(torch.nn.Module):
+    """scene_graph_encoder.py:107-146 (EdgeModel + NodeModel)."""
+
+    def __init__(self):
+        super().__init__()
+        edge_mlp = torch.nn.Sequential(
+            torch.nn.Linear(3 * C, C), torch.nn.GELU(),
+            torch.nn.Linear(C, C))
+        node_mlp_1 = torch.nn.Sequential(
+            torch.nn.Linear(2 * C, C), torch.nn.GELU(),
+            torch.nn.Linear(C, C))
+        node_mlp_2 = torch.nn.Sequential(
+            torch.nn.Linear(2 * C, C), torch.nn.GELU(),
+            torch.nn.Linear(C, C))
+        self.edge_model = torch.nn.Module()
+        self.edge_model.edge_mlp = edge_mlp
+        self.node_model = torch.nn.Module()
+        self.node_model.node_mlp_1 = node_mlp_1
+        self.node_model.node_mlp_2 = node_mlp_2
+
+    def forward(self, x, edge_index, edge_attr):
+        row, col = edge_index
+        e = self.edge_model.edge_mlp(
+            torch.cat([x[row], x[col], edge_attr], 1))
+        m = self.node_model.node_mlp_1(torch.cat([x[row], e], 1))
+        agg = scatter_mean(m, col, x.size(0))
+        out = self.node_model.node_mlp_2(torch.cat([x, agg], 1))
+        return out, e
+
+
+class SceneGraphEncoderRef(torch.nn.Module):
+    """scene_graph_encoder.py:8-104 (plain-torch)."""
+
+    def __init__(self, sg_vocab):
+        super().__init__()
+        self.sg_vocab_embedding = torch.nn.Embedding(sg_vocab, C)
+        self.scene_graph_encoding_layer = MetaLayerRef()
+        self.graph_layer_norm = GraphNormRef(C)
+        self.bbox_encoding = torch.nn.Sequential(
+            torch.nn.BatchNorm1d(4), torch.nn.Linear(4, 16),
+            torch.nn.GELU(), torch.nn.BatchNorm1d(16),
+            torch.nn.Linear(16, 32), torch.nn.GELU())
+        self.feat_reduc = torch.nn.Sequential(
+            torch.nn.BatchNorm1d(C + 32), torch.nn.Linear(C + 32, C),
+            torch.nn.GELU())
+
+    def forward(self, node_tokens, x_bbox, edge_index, edge_tokens,
+                added_sym_edge, batch):
+        x_embed_sum = self.sg_vocab_embedding(node_tokens).sum(-2)
+        x_bb = self.bbox_encoding(x_bbox)
+        x = self.feat_reduc(torch.cat([x_embed_sum, x_bb], 1))
+        e = self.sg_vocab_embedding(edge_tokens)
+        e = e.clone()
+        e[added_sym_edge, :] *= -1           # scene_graph_encoder.py:80
+        x_enc, e_enc = self.scene_graph_encoding_layer(x, edge_index, e)
+        save = x_enc.dtype                   # fp64 GraphNorm (:99-102)
+        x_enc = self.graph_layer_norm(x_enc.double(), batch).to(save)
+        return x_enc, e_enc
+
+
+class MaskingGATv2ConvRef(torch.nn.Module):
+    """mgat_v2_conv.py:138-279 with an externally supplied node mask
+    (the sampler head is stochastic; parity for it is tested at the
+    sampler level)."""
+
+    def __init__(self, heads=HEADS):
+        super().__init__()
+        self.heads = heads
+        self.lin_l = torch.nn.Linear(C, heads * C)
+        self.lin_r = torch.nn.Linear(C, heads * C)
+        self.lin_edge = torch.nn.Linear(C, heads * C, bias=False)
+        self.att = torch.nn.Parameter(torch.empty(1, heads, C).normal_())
+        self.bias = torch.nn.Parameter(torch.zeros(heads * C))
+
+    def forward(self, x, edge_index, edge_attr, instruction, batch,
+                node_mask=None):
+        H = self.heads
+        x = torch.nn.functional.gelu(x * instruction[batch])  # :152-157
+        edge_mask = None
+        if node_mask is not None:            # NodeMaskToEdgeMask fwd
+            edge_mask = (node_mask[edge_index[0]]
+                         * node_mask[edge_index[1]]).float()
+        x_l = self.lin_l(x).view(-1, H, C)
+        x_r = self.lin_r(x).view(-1, H, C)
+        src, dst = edge_index
+        m = x_l[src] + x_r[dst]              # x_j + x_i
+        m = m + self.lin_edge(edge_attr).view(-1, H, C)
+        if edge_mask is not None:
+            m = m * edge_mask.unsqueeze(-1)  # :263-264
+        m = torch.nn.functional.leaky_relu(m, 0.2)
+        if edge_mask is not None:
+            m = m * edge_mask.unsqueeze(-1)  # :268-269
+        alpha = (m * self.att).sum(dim=-1)   # [E, H] (:271)
+        alpha = segment_softmax(alpha, dst, x.size(0))
+        w = alpha if edge_mask is None else alpha * edge_mask  # :277-279
+        msg = x_l[src] * w.unsqueeze(-1)
+        out = scatter_add(msg, dst, x.size(0))
+        out = out.reshape(-1, H * C) + self.bias
+        return out, alpha
+
+
+def sdp_ref(query, key, value, batch):
+    """utils/scatter_scaled_dot_product.py:6-15."""
+    logits = (query[batch] * key).sum(-1) / math.sqrt(query.size(-1))
+    att = segment_softmax(logits, batch, int(batch.max()) + 1)
+    return att.unsqueeze(1) * value
+
+
+class MGATRef(torch.nn.Module):
+    """mgat.py:55-184 (unmasked layers; interpretable_mode off)."""
+
+    def __init__(self):
+        super().__init__()
+        self.convs = torch.nn.ModuleList(
+            [MaskingGATv2ConvRef() for _ in range(NINS)])
+        self.x_proj = torch.nn.ModuleList([
+            torch.nn.Sequential(
+                torch.nn.Linear(HEADS * C, C * (HEADS // 2)),
+                torch.nn.GELU(),
+                torch.nn.Linear(C * (HEADS // 2), C),
+                torch.nn.GELU())
+            for _ in range(NINS)])
+        self.bns = torch.nn.ModuleList([GraphNormRef(C) for _ in range(NINS)])
+
+    def forward(self, x, edge_index, edge_attr, instr_vectors, batch):
+        h = x
+        for i in range(NINS):
+            ins = instr_vectors[i]
+            conv_res, _ = self.convs[i](h, edge_index, edge_attr, ins, batch)
+            conv_res = self.x_proj[i](conv_res)
+            conv_res = sdp_ref(ins, conv_res, conv_res, batch)
+            conv_res = self.bns[i](conv_res, batch)
+            h = conv_res + h
+        return h
+
+
+class GlobalAttentionRef(torch.nn.Module):
+    """att_pooling.py:22-77."""
+
+    def __init__(self):
+        super().__init__()
+        self.node_nn = torch.nn.Sequential(
+            torch.nn.Linear(C, C), torch.nn.GELU(), torch.nn.Linear(C, C))
+        self.ques_nn = torch.nn.Sequential(
+            torch.nn.Linear(C, C), torch.nn.GELU(), torch.nn.Linear(C, C))
+
+    def forward(self, x, u, batch, node_mask=None):
+        size = int(batch.max()) + 1
+        x = self.node_nn(x)
+        if node_mask is not None:
+            x = x * node_mask                # :63-64
+        gate = (x * self.ques_nn(u)[batch]).sum(-1, keepdim=True)
+        gate = gate / math.sqrt(torch.tensor(float(x.size(1))))
+        gate = segment_softmax(gate, batch, size)
+        out = scatter_add(gate * x, batch, size)
+        return out, gate
+
+
+class TorchRefISubGVQA(torch.nn.Module):
+    """isubgvqa.py:86-297 composition (thresholds all 1.0), attribute
+    names chosen so ``state_dict()`` carries the reference's keys."""
+
+    def __init__(self, text_vocab, sg_vocab, answers):
+        super().__init__()
+        self.text_vocab_embedding = torch.nn.Module()
+        self.text_vocab_embedding.token_embedding = torch.nn.Embedding(
+            text_vocab, D)
+        self.text_vocab_embedding.position_embedding = torch.nn.Embedding(
+            77, D)
+        enc_layer = torch.nn.TransformerEncoderLayer(D, 8, 2048, 0.1)
+        self.question_encoder = torch.nn.Module()
+        self.question_encoder.transformer_encoder = torch.nn.TransformerEncoder(
+            enc_layer, 4, norm=torch.nn.LayerNorm(D))
+        self.program_decoder = torch.nn.Module()
+        self.program_decoder.query_embed = torch.nn.Embedding(NINS, D)
+        dec_layer = torch.nn.TransformerDecoderLayer(D, 8, 2048, 0.1)
+        self.program_decoder.coarse_decoder = torch.nn.TransformerDecoder(
+            dec_layer, 3, norm=torch.nn.LayerNorm(D))
+        self.scene_graph_encoder = SceneGraphEncoderRef(sg_vocab)
+        self.gat_seq = MGATRef()
+        self.graph_global_attention_pooling = GlobalAttentionRef()
+        self.qsts_reduction = torch.nn.Sequential(
+            torch.nn.Linear(D * NINS, C), torch.nn.GELU())
+        self.instr_reduction = torch.nn.Sequential(
+            torch.nn.Linear(D, C), torch.nn.GELU())
+        self.embedding = torch.nn.Sequential(
+            torch.nn.Linear(3 * C, 512), torch.nn.GELU(),
+            torch.nn.Dropout(0.2))
+        self.logit_fc = torch.nn.Linear(512, answers)
+
+    def forward(self, ids, qmask, node_tokens, x_bbox, edge_index,
+                edge_tokens, added_sym_edge, batch):
+        b = ids.size(0)
+        pos = torch.arange(ids.size(1))
+        src = (self.text_vocab_embedding.token_embedding(ids)
+               + self.text_vocab_embedding.position_embedding(pos)[None])
+        enc = self.question_encoder.transformer_encoder(
+            src.permute(1, 0, 2), src_key_padding_mask=qmask.float())
+        queries = self.program_decoder.query_embed.weight.unsqueeze(
+            1).repeat(1, b, 1)
+        qst_feats = self.program_decoder.coarse_decoder(
+            tgt=queries, memory=enc)                # [NINS, B, D]
+        flat = qst_feats.view(b, NINS, D).flatten(1)  # B=1: no scramble
+        lang = self.qsts_reduction(flat)              # [B, C]
+        instr = self.instr_reduction(qst_feats)       # [NINS, B, C]
+
+        x_enc, e_enc = self.scene_graph_encoder(
+            node_tokens, x_bbox, edge_index, edge_tokens, added_sym_edge,
+            batch)
+        h = self.gat_seq(x_enc, edge_index, e_enc, instr, batch)
+        g, _ = self.graph_global_attention_pooling(h, lang, batch)
+        fused = torch.cat([g, lang, g * lang], 1)
+        fused = self.embedding(fused)
+        return self.logit_fc(fused)
+
+
+# ------------------------------------------------------------- fixtures
+
+def _ragged_from_batch(batch, s):
+    """Slice sample ``s`` of a dense GraphBatch into ragged torch
+    tensors (the reference's native layout)."""
+    nv = np.asarray(batch.node_mask[s])
+    ev = np.asarray(batch.edge_mask[s])
+    node_tokens = torch.tensor(np.asarray(batch.node_tokens[s])[nv],
+                               dtype=torch.long)
+    x_bbox = torch.tensor(np.asarray(batch.node_bbox[s])[nv])
+    src = torch.tensor(np.asarray(batch.edge_src[s])[ev], dtype=torch.long)
+    dst = torch.tensor(np.asarray(batch.edge_dst[s])[ev], dtype=torch.long)
+    edge_index = torch.stack([src, dst])
+    edge_tokens = torch.tensor(np.asarray(batch.edge_token[s])[ev],
+                               dtype=torch.long)
+    sign = np.asarray(batch.edge_sign[s])[ev]
+    added_sym = torch.tensor(np.nonzero(sign < 0)[0], dtype=torch.long)
+    bvec = torch.zeros(int(nv.sum()), dtype=torch.long)
+    return node_tokens, x_bbox, edge_index, edge_tokens, added_sym, bvec
+
+
+@pytest.fixture(scope="module")
+def golden():
+    torch.manual_seed(0)
+    cfg = small_cfg(mgat_masks=(1.0,) * 4, sampler_type=None, sample_k=None,
+                    use_pallas=False)
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(cfg.num_answers)
+    ds = SyntheticGQA(vocab, answers, size=8, seed=0)
+    spec = BucketSpec(batch_size=2, max_nodes_per_graph=32,
+                      max_edges_per_graph=128, question_len=12)
+    tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size, max_len=12)
+    coll = Collator(tok, spec, vocab=vocab)
+    batch, _ = coll.collate([ds[0], ds[1]])
+
+    m = TorchRefISubGVQA(cfg.text_vocab_size, len(vocab),
+                         cfg.num_answers).eval()
+    # non-trivial BN running stats so the eval path is actually tested
+    g = torch.Generator().manual_seed(1)
+    for bn in [m.scene_graph_encoder.bbox_encoding[0],
+               m.scene_graph_encoder.bbox_encoding[3],
+               m.scene_graph_encoder.feat_reduc[0]]:
+        bn.running_mean.copy_(torch.randn(bn.running_mean.shape,
+                                          generator=g) * 0.1)
+        bn.running_var.copy_(1.0 + 0.3 * torch.rand(bn.running_var.shape,
+                                                    generator=g))
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params, stats = convert_state_dict(sd)
+    cfg = dataclasses.replace(cfg, batch_size=2)
+    model = build_model(cfg, vocab)
+    return m, model, params, stats, batch, cfg
+
+
+# ----------------------------------------------------------------- tests
+
+def test_scene_graph_encoder_matches_torch(golden):
+    m, model, params, stats, batch, cfg = golden
+    from isubgvqa_tpu.models.scene_graph_encoder import SceneGraphEncoder
+
+    sge = SceneGraphEncoder(sg_vocab_size=m.scene_graph_encoder
+                            .sg_vocab_embedding.num_embeddings,
+                            use_pallas=False)
+    x_j, e_j = sge.apply(
+        {"params": params["scene_graph_encoder"],
+         "batch_stats": stats["scene_graph_encoder"]},
+        batch, deterministic=True)
+
+    for s in range(2):
+        nt, bb, ei, et, sym, bvec = _ragged_from_batch(batch, s)
+        with torch.no_grad():
+            x_t, e_t = m.scene_graph_encoder(nt, bb, ei, et, sym, bvec)
+        nv = np.asarray(batch.node_mask[s])
+        ev = np.asarray(batch.edge_mask[s])
+        np.testing.assert_allclose(np.asarray(x_j[s])[nv], x_t.numpy(),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(e_j[s])[ev], e_t.numpy(),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_masked_gat_layer_matches_torch_given_gate(golden):
+    """mgat_v2_conv.py:159-279 with a fixed node gate: edge-mask
+    placement (before/after leaky ReLU, alpha multiply) + x_proj + SDP
+    + GraphNorm + residual, vs gat_layer_reference."""
+    m, model, params, stats, batch, cfg = golden
+    from isubgvqa_tpu.ops.pallas.gat_kernel import gat_layer_reference
+
+    rng = np.random.default_rng(7)
+    bsz, n = batch.node_mask.shape
+    e = batch.edge_mask.shape[1]
+    h_in = rng.normal(size=(bsz, n, C)).astype(np.float32)
+    instr = rng.normal(size=(bsz, C)).astype(np.float32)
+    gate = (rng.uniform(size=(bsz, n, 1)) > 0.4).astype(np.float32)
+    e_feat = rng.normal(size=(bsz, e, C)).astype(np.float32)
+
+    li = 0
+    conv_p = params["gat_seq"][f"conv{li}"]
+    att = conv_p["att"]
+    hc = HEADS * C
+    attb = np.zeros((hc, HEADS), np.float32)
+    expand = np.zeros((HEADS, hc), np.float32)
+    for hh in range(HEADS):
+        attb[hh * C:(hh + 1) * C, hh] = att[hh]
+        expand[hh, hh * C:(hh + 1) * C] = 1.0
+    kparams = {
+        "wl": conv_p["lin_l_kernel"], "bl": conv_p["lin_l_bias"],
+        "wr": conv_p["lin_r_kernel"], "br": conv_p["lin_r_bias"],
+        "attb": attb, "expand": expand, "cbias": conv_p["bias"],
+        "w1": conv_p["x_proj_w1"], "b1": conv_p["x_proj_b1"],
+        "w2": conv_p["x_proj_w2"], "b2": conv_p["x_proj_b2"],
+        "gn_w": conv_p["gn_weight"], "gn_b": conv_p["gn_bias"],
+        "gn_a": conv_p["gn_mean_scale"],
+    }
+    lin_edge_all = np.asarray(params["gat_seq"]["lin_edge_all"]["kernel"])
+    eproj = np.einsum("bec,ch->beh", e_feat,
+                      lin_edge_all[:, li * hc:(li + 1) * hc])
+    xf = np.asarray(jax.nn.gelu(
+        jnp.asarray(h_in) * jnp.asarray(instr)[:, None, :],
+        approximate=False))
+
+    out_j, alpha_j = gat_layer_reference(
+        jnp.asarray(h_in), jnp.asarray(xf), jnp.asarray(instr),
+        jnp.asarray(gate), batch.edge_src, batch.edge_dst,
+        batch.edge_mask, batch.node_mask, jnp.asarray(eproj),
+        {k: jnp.asarray(v) for k, v in kparams.items()})
+
+    conv_t = m.gat_seq.convs[li]
+    for s in range(2):
+        nv = np.asarray(batch.node_mask[s])
+        ev = np.asarray(batch.edge_mask[s])
+        nt = int(nv.sum())
+        src = torch.tensor(np.asarray(batch.edge_src[s])[ev],
+                           dtype=torch.long)
+        dst = torch.tensor(np.asarray(batch.edge_dst[s])[ev],
+                           dtype=torch.long)
+        bvec = torch.zeros(nt, dtype=torch.long)
+        with torch.no_grad():
+            conv_res, alpha_t = conv_t(
+                torch.tensor(h_in[s, :nt]), torch.stack([src, dst]),
+                torch.tensor(e_feat[s][ev]),
+                torch.tensor(instr[s:s + 1]), bvec,
+                node_mask=torch.tensor(gate[s, :nt]))
+            conv_res = m.gat_seq.x_proj[li](conv_res)
+            conv_res = sdp_ref(torch.tensor(instr[s:s + 1]), conv_res,
+                               conv_res, bvec)
+            conv_res = m.gat_seq.bns[li](conv_res, bvec)
+            out_t = conv_res + torch.tensor(h_in[s, :nt])
+        np.testing.assert_allclose(np.asarray(out_j[s])[nv], out_t.numpy(),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(alpha_j[s])[ev],
+                                   alpha_t.numpy(), rtol=5e-4, atol=5e-5)
+
+
+def test_pooling_matches_torch_with_node_mask(golden):
+    m, model, params, stats, batch, cfg = golden
+    from isubgvqa_tpu.models.pooling import GlobalAttentionPooling
+
+    rng = np.random.default_rng(3)
+    bsz, n = batch.node_mask.shape
+    x = rng.normal(size=(bsz, n, C)).astype(np.float32)
+    u = rng.normal(size=(bsz, C)).astype(np.float32)
+    mask = (rng.uniform(size=(bsz, n, 1)) > 0.3).astype(np.float32)
+
+    pool = GlobalAttentionPooling()
+    out_j, gate_j = pool.apply(
+        {"params": params["graph_global_attention_pooling"]},
+        jnp.asarray(x), jnp.asarray(u), batch,
+        node_mask=jnp.asarray(mask))
+
+    for s in range(2):
+        nv = np.asarray(batch.node_mask[s])
+        nt = int(nv.sum())
+        bvec = torch.zeros(nt, dtype=torch.long)
+        with torch.no_grad():
+            out_t, gate_t = m.graph_global_attention_pooling(
+                torch.tensor(x[s, :nt]), torch.tensor(u[s:s + 1]), bvec,
+                node_mask=torch.tensor(mask[s, :nt]))
+        np.testing.assert_allclose(np.asarray(out_j[s]), out_t.numpy()[0],
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(gate_j[s])[nv],
+                                   gate_t.numpy(), rtol=5e-4, atol=1e-6)
+
+
+def test_full_model_logits_match_torch(golden):
+    """Whole forward (thresholds 1.0): dense batched flax vs per-sample
+    torch reference — the last unverified parity surface."""
+    m, model, params, stats, batch, cfg = golden
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      batch, train=False,
+                      rngs={"sampler": jax.random.PRNGKey(0)})
+    logits_j = np.asarray(out.logits)
+
+    for s in range(2):
+        ids = torch.tensor(np.asarray(batch.qst_tokens[s:s + 1]),
+                           dtype=torch.long)
+        qmask = torch.tensor(np.asarray(batch.qst_mask[s:s + 1]),
+                             dtype=torch.long)
+        nt, bb, ei, et, sym, bvec = _ragged_from_batch(batch, s)
+        with torch.no_grad():
+            logits_t = m(ids, qmask, nt, bb, ei, et, sym, bvec)
+        np.testing.assert_allclose(logits_j[s], logits_t.numpy()[0],
+                                   rtol=1e-3, atol=2e-3)
