@@ -56,6 +56,12 @@ class Config:
     question_len: int = 32                  # static padded question length
     max_nodes_per_graph: int = 128          # dense per-graph node cap (static)
     max_edges_per_graph: int = 384          # dense per-graph edge cap (static)
+    # size buckets (node caps, ascending; the largest is clamped to
+    # max_nodes_per_graph).  GQA graphs average ~17 nodes, so most
+    # batches compile/run at the small shapes instead of paying the
+    # full cap's padding (PyG ragged-batching parity, gqa.py:260).
+    # Empty tuple disables bucketing.
+    bucket_node_caps: Tuple[int, ...] = (32, 128)
     synthetic: bool = False                 # use the synthetic mini-GQA fixture
     synthetic_size: int = 2048
 
@@ -107,4 +113,6 @@ class Config:
         d = {k: v for k, v in d.items() if k in fields}
         if "mgat_masks" in d and d["mgat_masks"] is not None:
             d["mgat_masks"] = tuple(d["mgat_masks"])
+        if "bucket_node_caps" in d and d["bucket_node_caps"] is not None:
+            d["bucket_node_caps"] = tuple(d["bucket_node_caps"])
         return cls(**d)

@@ -209,10 +209,11 @@ def iterate_batches_bucketed(
     num_shards: int = 1,
 ) -> Iterator[tuple[GraphBatch, BatchMeta]]:
     """Size-bucketed iteration: each sample goes to the smallest bucket
-    whose node cap fits its graph, so small graphs don't pay the
-    largest graph's padding.  ``collators`` maps node-cap -> Collator
-    (one jit specialization per bucket).  GQA's node-count distribution
-    (~17 mean, ~100 max) makes a (32, 128) pair a good default.
+    whose node *and* edge caps fit its graph, so small graphs don't pay
+    the largest graph's padding.  ``collators`` maps node-cap ->
+    Collator (one jit specialization per bucket).  GQA's node-count
+    distribution (~17 mean, ~100 max) makes a (32, 128) pair a good
+    default.
     """
     caps = sorted(collators.keys())
     idx = np.arange(len(dataset))
@@ -222,8 +223,12 @@ def iterate_batches_bucketed(
 
     per_bucket: dict = {c: [] for c in caps}
     for j in idx:
-        n = dataset[int(j)].graph.num_nodes
-        cap = next((c for c in caps if n <= c), caps[-1])
+        g = dataset[int(j)].graph
+        n, e = g.num_nodes, g.edge_src.shape[0]
+        cap = next(
+            (c for c in caps
+             if n <= c and e <= collators[c].spec.max_edges_per_graph),
+            caps[-1])
         per_bucket[cap].append(int(j))
 
     rng = np.random.default_rng(seed + 1)

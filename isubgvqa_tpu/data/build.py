@@ -26,10 +26,15 @@ from .vocab import SceneGraphVocab
 @dataclasses.dataclass
 class DataBundle:
     datasets: Dict[str, object]          # train / dev / testdev
-    collators: Dict[str, Collator]       # matching bucket specs
+    collators: Dict[str, Collator]       # per split, at the largest caps
     vocab: SceneGraphVocab
     answers: AnswerMap
     tokenizer: object
+    # per split: node-cap -> Collator (ascending caps; one jit
+    # specialization per cap).  ``{cap_max: collators[split]}`` when
+    # bucketing is disabled.
+    bucket_collators: Dict[str, Dict[int, Collator]] = dataclasses.field(
+        default_factory=dict)
 
 
 def _has_real_gqa(cfg: Config) -> bool:
@@ -65,19 +70,34 @@ def build_datasets(cfg: Config) -> DataBundle:
             "testdev": GQADataset("testdev", store, answers, cfg.data_dir),
         }
 
-    def spec(bs: int) -> BucketSpec:
+    def spec(bs: int, n_cap: int, e_cap: int) -> BucketSpec:
         return BucketSpec(
             batch_size=bs,
-            max_nodes_per_graph=cfg.max_nodes_per_graph,
-            max_edges_per_graph=cfg.max_edges_per_graph,
+            max_nodes_per_graph=n_cap,
+            max_edges_per_graph=e_cap,
             question_len=cfg.question_len,
         )
 
+    # node caps ascending, clamped to the configured maximum; the edge
+    # cap scales with the node cap (same edges-per-node budget)
+    n_max, e_max = cfg.max_nodes_per_graph, cfg.max_edges_per_graph
+    caps = sorted({min(c, n_max) for c in (cfg.bucket_node_caps or ())}
+                  | {n_max})
+
+    def e_cap_for(n_cap: int) -> int:
+        return e_max if n_cap == n_max else max(
+            (n_cap * e_max) // n_max, 1)
+
     eval_bs = cfg.batch_size * cfg.eval_batch_factor   # build.py:55-67
-    collators = {
-        "train": Collator(tokenizer, spec(cfg.batch_size), vocab=vocab),
-        "dev": Collator(tokenizer, spec(eval_bs), vocab=vocab),
-        "testdev": Collator(tokenizer, spec(eval_bs), vocab=vocab),
+    split_bs = {"train": cfg.batch_size, "dev": eval_bs, "testdev": eval_bs}
+    bucket_collators = {
+        split: {cap: Collator(tokenizer,
+                              spec(bs, cap, e_cap_for(cap)), vocab=vocab)
+                for cap in caps}
+        for split, bs in split_bs.items()
     }
+    collators = {split: colls[n_max]
+                 for split, colls in bucket_collators.items()}
     return DataBundle(datasets=datasets, collators=collators, vocab=vocab,
-                      answers=answers, tokenizer=tokenizer)
+                      answers=answers, tokenizer=tokenizer,
+                      bucket_collators=bucket_collators)

@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..data.batching import iterate_batches
+from ..data.batching import iterate_batches, iterate_batches_bucketed
 from ..data.build import DataBundle
 from ..config import Config
 from .token_coo import (
@@ -84,11 +84,18 @@ def run_token_coo_exp(
     n_seen = 0
 
     ds = data.datasets[split]
-    coll = data.collators[split]
-    for b_idx, (batch, meta) in enumerate(iterate_batches(ds, coll)):
+    buckets = data.bucket_collators.get(split)
+    if buckets and len(buckets) > 1:
+        # size-bucketed eval: small graphs run at small static shapes
+        # (one jit specialization per bucket) instead of paying the
+        # largest cap's padding
+        batches = iterate_batches_bucketed(ds, buckets)
+    else:
+        batches = iterate_batches(ds, data.collators[split])
+    for b_idx, (batch, meta) in enumerate(batches):
         if max_batches is not None and b_idx >= max_batches:
             break
-        out = forward(state, batch, eval_rng)
+        out = forward(state, batch, jax.random.fold_in(eval_rng, b_idx))
         logits = np.asarray(out.logits)
         preds = logits.argmax(-1)
         node_mask = (np.asarray(out.node_mask)[..., 0]

@@ -130,7 +130,11 @@ def device_memory_stats() -> str:
 
 
 class MetricLogger:
-    """``misc.py:157-262``: named SmoothedValues + ``log_every``."""
+    """``misc.py:157-262``: named SmoothedValues + ``log_every``.
+
+    Parity surface: provided because the reference exposes it (where it
+    is equally unused by the main training path — ``train_epoch`` uses
+    AverageMeter/ProgressMeter instead, as does our ``Trainer``)."""
 
     def __init__(self, delimiter: str = "\t"):
         self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)

@@ -18,8 +18,9 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..data.batching import iterate_batches
+from ..data.batching import iterate_batches, iterate_batches_bucketed
 from ..data.build import DataBundle
+from .distributed_metrics import reduce_dict
 from ..parallel.mesh import is_main_process, make_mesh, shard_batch, replicate
 from .checkpoint import CheckpointManager
 from .metrics import AverageMeter, ProgressMeter, StepTimer
@@ -38,7 +39,8 @@ class Trainer:
         self.data = data
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_data_shards)
         # per-host input sharding (DistributedSampler parity,
-        # datasets/build.py:44-49: the reference shards train only)
+        # datasets/build.py:44-49: the reference wraps *both* train and
+        # valid in DistributedSampler, so validation shards too)
         self.shard_index = jax.process_index()
         self.num_shards = jax.process_count()
 
@@ -64,25 +66,41 @@ class Trainer:
 
     # ------------------------------------------------------------ epochs
 
+    def _iter_split(self, split: str, shuffle: bool, seed: int,
+                    drop_last: bool):
+        """Batch iterator for a split: size-bucketed when the bundle
+        carries more than one bucket (one jit specialization per
+        bucket), else fixed-shape; always sharded per process."""
+        ds = self.data.datasets[split]
+        buckets = self.data.bucket_collators.get(split)
+        if buckets and len(buckets) > 1:
+            return iterate_batches_bucketed(
+                ds, buckets, shuffle=shuffle, seed=seed,
+                drop_last=drop_last, shard_index=self.shard_index,
+                num_shards=self.num_shards)
+        return iterate_batches(
+            ds, self.data.collators[split], shuffle=shuffle, seed=seed,
+            drop_last=drop_last, shard_index=self.shard_index,
+            num_shards=self.num_shards)
+
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
         ds = self.data.datasets["train"]
-        coll = self.data.collators["train"]
-        batches = iterate_batches(ds, coll, shuffle=True,
-                                  seed=cfg.seed + epoch, drop_last=True,
-                                  shard_index=self.shard_index,
-                                  num_shards=self.num_shards)
+        batches = self._iter_split("train", shuffle=True,
+                                   seed=cfg.seed + epoch, drop_last=True)
         n_batches = len(ds) // self.num_shards // cfg.batch_size
 
         batch_time = AverageMeter("Time", ":4.2f")
         data_time = AverageMeter("Data", ":4.2f")
         losses = AverageMeter("Loss", ":.2e")
+        grad_norm = AverageMeter("GradNorm", ":4.2f")
         ans_short = AverageMeter("Acc@Short-MGat", ":4.2f")
         progress = ProgressMeter(
-            n_batches, [batch_time, data_time, losses, ans_short],
+            n_batches, [batch_time, data_time, losses, grad_norm, ans_short],
             prefix=f"Epoch: [{epoch}]")
         timer = StepTimer()
 
+        i = -1
         for i, (batch, meta) in enumerate(batches):
             data_time.update(timer.lap())
             batch = shard_batch(batch, self.mesh)
@@ -95,30 +113,38 @@ class Trainer:
                 losses.update(loss, count)
             else:
                 logger.info("loss is %s", loss)
+            grad_norm.update(float(metrics["grad_norm"]))
             ans_short.update(acc, count)
             batch_time.update(timer.lap())
             if is_main_process() and (i % cfg.print_freq == 0
                                       or i == n_batches - 1):
                 progress.display(i)
         if is_main_process():
-            progress.display(n_batches)
+            progress.display(i + 1)
         return losses.avg
 
     def validate_epoch(self, epoch: int, split: str = "dev"):
+        """Validation, sharded across processes like the reference
+        (``datasets/build.py:44-49`` wraps valid in DistributedSampler
+        too); partial sums are reduced across hosts.  Eval noise is
+        drawn fresh per batch, as the reference's samplers do."""
         cfg = self.cfg
-        ds = self.data.datasets[split]
-        coll = self.data.collators[split]
         loss_sum = correct = count = 0.0
         self.rng, eval_rng = jax.random.split(self.rng)
-        for batch, meta in iterate_batches(ds, coll, drop_last=False):
+        batches = self._iter_split(split, shuffle=False, seed=cfg.seed,
+                                   drop_last=False)
+        for b_idx, (batch, meta) in enumerate(batches):
             batch = shard_batch(batch, self.mesh)
-            m = jax.device_get(self.eval_step(self.state, batch, eval_rng))
+            batch_rng = jax.random.fold_in(eval_rng, b_idx)
+            m = jax.device_get(self.eval_step(self.state, batch, batch_rng))
             loss_sum += float(m["loss_sum"])
             correct += float(m["correct"])
             count += float(m["count"])
-        count = max(count, 1.0)
-        acc = correct / count * 100.0
-        loss = loss_sum / count
+        totals = reduce_dict({"loss_sum": loss_sum, "correct": correct,
+                              "count": count}, average=False)
+        count = max(totals["count"], 1.0)
+        acc = totals["correct"] / count * 100.0
+        loss = totals["loss_sum"] / count
         if is_main_process():
             msg = f"Val epoch [{epoch}] {split}: Acc@Short {acc:4.2f} Loss {loss:.2e}"
             print(msg, flush=True)

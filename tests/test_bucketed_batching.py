@@ -41,3 +41,48 @@ def test_bucketed_iteration_covers_all_and_respects_caps():
     for batch, _ in iterate_batches_bucketed(ds, collators):
         shapes.add(batch.node_tokens.shape)
     assert len(shapes) <= 2
+
+
+def test_bucket_selection_respects_edge_cap():
+    """A graph whose nodes fit the small bucket but whose edges exceed
+    its edge cap must overflow to the larger bucket (no truncation)."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=40, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    collators = {
+        8: Collator(tok, BucketSpec(4, max_nodes_per_graph=8,
+                                    max_edges_per_graph=10,  # tight
+                                    question_len=12), vocab=vocab),
+        32: Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                     max_edges_per_graph=160,
+                                     question_len=12), vocab=vocab),
+    }
+    for batch, meta in iterate_batches_bucketed(ds, collators):
+        if batch.max_nodes_per_graph == 8:
+            for g in meta.graphs:
+                assert g.num_nodes <= 8 and g.edge_src.shape[0] <= 10
+
+
+def test_build_datasets_bucket_collators_default_on():
+    """Config default wires (32, max) buckets into the bundle; edge
+    caps scale with the node cap."""
+    from isubgvqa_tpu.config import Config
+    from isubgvqa_tpu.data.build import build_datasets
+
+    cfg = Config(synthetic=True, synthetic_size=32, batch_size=4,
+                 num_answers=32, text_vocab_size=256, question_len=12,
+                 meta_dir="")
+    bundle = build_datasets(cfg)
+    for split in ("train", "dev", "testdev"):
+        caps = sorted(bundle.bucket_collators[split])
+        assert caps == [32, 128]
+        assert (bundle.bucket_collators[split][32].spec.max_edges_per_graph
+                == 96)
+        assert (bundle.bucket_collators[split][128].spec.max_edges_per_graph
+                == 384)
+        # the plain collator is the largest bucket's
+        assert bundle.collators[split] is bundle.bucket_collators[split][128]
+    # eval batch x4 carries into every bucket (datasets/build.py:55-67)
+    assert all(c.spec.batch_size == 16
+               for c in bundle.bucket_collators["dev"].values())
