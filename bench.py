@@ -4,74 +4,101 @@
 North star (BASELINE.json): >= 10,000 GQA questions/sec/chip on the
 flagship ISubGVQA model — question transformer + scene-graph masked-GAT
 forward with discrete subgraph extraction — at GQA-realistic shapes
-(batch 256, ~17-node graphs, 1842 answers, real meta vocab when
-mounted).  Prints ONE JSON line:
+(batch 256+, ~17-node graphs, 1842 answers).  Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "questions/sec/chip",
      "vs_baseline": N/10000}
+
+The default run measures the shipped configuration: size-bucketed
+batches (the Trainer/explain-runner default — small graphs at the
+(32, 96) bucket, large at (128, 384)) streaming *distinct* inputs,
+gumbel sampler with the reference's noisy eval forward.  Supplementary
+numbers (step time, FLOPs/question, MFU vs the measured ~39 TFLOP/s
+practical chip peak) go to stderr.
+
+``python bench.py --full`` additionally benchmarks the three other
+samplers (imle / aimle / simple) and the jitted *training* step for
+each, writing a breakdown table to ``docs/bench_details.md`` — see
+that file for the last recorded surface.
 """
 
 from __future__ import annotations
 
+import argparse
+import dataclasses
 import json
+import sys
 import time
 
 import jax
 import numpy as np
 
 BASELINE_QPS = 10_000.0
+PRACTICAL_PEAK_TFLOPS = 39.0    # measured bf16 practical peak, CLAUDE.md
 
 
-def build_bench_setup(batch_size: int = 256, compute_dtype: str = "bfloat16",
-                      num_batches: int = 4):
+def _cfg(sampler: str, batch_size: int, dtype: str):
     from isubgvqa_tpu.config import Config
+
+    return Config(
+        batch_size=batch_size,
+        compute_dtype=dtype,
+        sampler_type=sampler,
+        sample_k=3,
+        question_len=32,
+        max_nodes_per_graph=128,
+        max_edges_per_graph=384,
+        bucket_node_caps=(32, 128),
+    )
+
+
+def build_bench_setup(cfg, num_batches: int = 12):
+    """Model + a stream of bucket-mixed distinct batches (the tunnel
+    dedups identical executions, so every timed dispatch is unique)."""
     from isubgvqa_tpu.data import (AnswerMap, BucketSpec, Collator,
                                    HashWordTokenizer, SceneGraphVocab,
                                    SyntheticGQA)
+    from isubgvqa_tpu.data.batching import iterate_batches_bucketed
     from isubgvqa_tpu.models.build import build_model, init_model
 
-    cfg = Config(
-        batch_size=batch_size,
-        compute_dtype=compute_dtype,
-        sampler_type="gumbel",
-        sample_k=3,
-        question_len=32,
-        max_nodes_per_graph=64,
-        max_edges_per_graph=192,
-    )
     vocab = SceneGraphVocab.build(cfg.meta_dir, seed=cfg.seed)
     answers = AnswerMap.build(cfg.meta_dir, cfg.num_answers)
-    ds = SyntheticGQA(vocab, answers, size=batch_size * num_batches, seed=0)
-    spec = BucketSpec(
-        batch_size=batch_size,
-        max_nodes_per_graph=cfg.max_nodes_per_graph,
-        max_edges_per_graph=cfg.max_edges_per_graph,
-        question_len=cfg.question_len,
-    )
+    ds = SyntheticGQA(vocab, answers, size=cfg.batch_size * num_batches,
+                      seed=0)
     tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
                             max_len=cfg.question_len)
-    coll = Collator(tok, spec, vocab=vocab)
-    batches = [
-        coll.collate([ds[i] for i in range(b * batch_size,
-                                           (b + 1) * batch_size)])[0]
-        for b in range(num_batches)
-    ]
-    import dataclasses
-
+    n_max, e_max = cfg.max_nodes_per_graph, cfg.max_edges_per_graph
+    caps = sorted({min(c, n_max) for c in cfg.bucket_node_caps} | {n_max})
+    collators = {
+        cap: Collator(tok, BucketSpec(
+            batch_size=cfg.batch_size, max_nodes_per_graph=cap,
+            max_edges_per_graph=(e_max if cap == n_max
+                                 else max(cap * e_max // n_max, 1)),
+            question_len=cfg.question_len), vocab=vocab)
+        for cap in caps
+    }
+    batches = [b for b, _ in iterate_batches_bucketed(ds, collators,
+                                                      drop_last=True)]
     cfg = dataclasses.replace(cfg, num_answers=len(answers))
     model = build_model(cfg, vocab)
     params, batch_stats = init_model(model, batches[0])
     return model, params, batch_stats, batches, cfg
 
 
-def main():
-    # NOTE on methodology: the dev-sandbox TPU tunnel deduplicates
-    # repeated executions with identical inputs, so the benchmark
-    # streams *distinct* batches (as real serving would) and only the
-    # warmup batch repeats.
-    batch_size = 512
-    iters = 12
-    model, params, batch_stats, batches, cfg = build_bench_setup(
-        batch_size, num_batches=iters)
+def _flops_per_exec(fn, *args) -> float:
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
+                    iters: int = 12, dtype: str = "bfloat16"):
+    """-> dict with qps/chip, ms/batch, mfu estimate."""
+    cfg = _cfg(sampler, batch_size, dtype)
+    model, params, batch_stats, batches, cfg = build_bench_setup(cfg, iters)
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
     batch_stats = jax.device_put(batch_stats, dev)
@@ -84,24 +111,157 @@ def main():
         return out.logits, out.node_mask
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup
-    jax.block_until_ready(forward(params, batches[0], key))
+    # compile + warmup every bucket shape once
+    shapes_seen = set()
+    flops = 0.0
+    n_small = 0
+    for b in batches:
+        s = b.node_tokens.shape
+        if s not in shapes_seen:
+            shapes_seen.add(s)
+            jax.block_until_ready(forward(params, b, key))
+        if s[1] < cfg.max_nodes_per_graph:
+            n_small += 1
+    # mean flops per batch over the actual bucket mix
+    per_shape = {}
+    for b in batches:
+        s = b.node_tokens.shape
+        if s not in per_shape:
+            per_shape[s] = _flops_per_exec(
+                lambda p, bb, k: forward(p, bb, k), params, b, key)
+        flops += per_shape[s]
 
     t0 = time.perf_counter()
-    outs = [forward(params, batches[i], key) for i in range(iters)]
+    outs = [forward(params, batches[i], key) for i in range(len(batches))]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
-    qps = batch_size * iters / dt
+    n_q = batch_size * len(batches)
+    qps = n_q / dt
     n_chips = max(len(jax.devices()), 1)
+    return {
+        "sampler": sampler,
+        "qps_per_chip": qps / n_chips,
+        "ms_per_batch": dt / len(batches) * 1e3,
+        "batches": len(batches),
+        "small_bucket_frac": n_small / max(len(batches), 1),
+        "flops_per_question": flops / max(n_q, 1),
+        "mfu": (flops / dt) / (PRACTICAL_PEAK_TFLOPS * 1e12 * n_chips),
+    }
+
+
+def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
+                     dtype: str = "bfloat16"):
+    """Jitted full training step (fwd + bwd + Adam) throughput."""
+    from isubgvqa_tpu.train.schedule import make_optimizer
+    from isubgvqa_tpu.train.state import create_train_state
+    from isubgvqa_tpu.train.steps import make_train_step
+
+    cfg = _cfg(sampler, batch_size, dtype)
+    model, params, batch_stats, batches, cfg = build_bench_setup(cfg, iters)
+    optimizer = make_optimizer(cfg.lr, steps_per_epoch=8)
+    state = create_train_state(model, optimizer, batches[0], cfg)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batches = jax.device_put(batches, dev)
+
+    step = jax.jit(make_train_step(model, optimizer, cfg))
+    rng = jax.random.PRNGKey(0)
+    shapes_seen = set()
+    for b in batches:                      # compile per bucket shape
+        if b.node_tokens.shape not in shapes_seen:
+            shapes_seen.add(b.node_tokens.shape)
+            state2, m = step(state, b, rng)
+            jax.block_until_ready(m)
+
+    t0 = time.perf_counter()
+    for b in batches:
+        state, m = step(state, b, rng)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    n_chips = max(len(jax.devices()), 1)
+    return {
+        "sampler": sampler,
+        "train_qps_per_chip": batch_size * len(batches) / dt / n_chips,
+        "ms_per_step": dt / len(batches) * 1e3,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="bench all samplers + train steps; write "
+                         "docs/bench_details.md")
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
+
+    head = bench_inference("gumbel", args.batch_size, args.iters)
     result = {
         "metric": "GQA questions/sec/chip (batched inference, ISubGVQA "
-                  "forward + discrete subgraph extraction)",
-        "value": round(qps / n_chips, 1),
+                  "forward + discrete subgraph extraction, bucket-mixed "
+                  "shapes)",
+        "value": round(head["qps_per_chip"], 1),
         "unit": "questions/sec/chip",
-        "vs_baseline": round(qps / n_chips / BASELINE_QPS, 3),
+        "vs_baseline": round(head["qps_per_chip"] / BASELINE_QPS, 3),
     }
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in head.items()}), file=sys.stderr)
+
+    if args.full:
+        rows = [head]
+        train_rows = []
+        for sampler in ("imle", "aimle", "simple"):
+            rows.append(bench_inference(sampler, args.batch_size,
+                                        args.iters))
+            print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                              for k, v in rows[-1].items()}),
+                  file=sys.stderr)
+        for sampler in ("gumbel", "imle", "aimle", "simple"):
+            train_rows.append(bench_train_step(sampler))
+            print(json.dumps({k: round(v, 4) if isinstance(v, float)
+                              else v for k, v in train_rows[-1].items()}),
+                  file=sys.stderr)
+        _write_details(rows, train_rows, args)
+
     print(json.dumps(result))
+
+
+def _write_details(rows, train_rows, args):
+    lines = [
+        "# Benchmark surface (last `bench.py --full` run)",
+        "",
+        f"Batch {args.batch_size}, {args.iters} distinct bucket-mixed "
+        "batches, bf16 compute, synthetic GQA-shaped graphs, one chip; "
+        f"MFU against the measured ~{PRACTICAL_PEAK_TFLOPS:.0f} TFLOP/s "
+        "practical peak.",
+        "",
+        "## Inference (eval forward + subgraph extraction)",
+        "",
+        "| sampler | questions/s/chip | ms/batch | MFU | kFLOPs/question |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['sampler']} | {r['qps_per_chip']:.0f} "
+            f"| {r['ms_per_batch']:.1f} | {r['mfu']*100:.1f}% "
+            f"| {r['flops_per_question']/1e3:.0f} |")
+    lines += [
+        "",
+        "## Training step (forward + backward + Adam, batch 256)",
+        "",
+        "| sampler | questions/s/chip | ms/step |",
+        "|---|---|---|",
+    ]
+    for r in train_rows:
+        lines.append(f"| {r['sampler']} | {r['train_qps_per_chip']:.0f} "
+                     f"| {r['ms_per_step']:.1f} |")
+    lines.append("")
+    import os
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/bench_details.md", "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
