@@ -72,7 +72,7 @@ def build_bench_setup(cfg, num_batches: int = 12):
         cap: Collator(tok, BucketSpec(
             batch_size=cfg.batch_size, max_nodes_per_graph=cap,
             max_edges_per_graph=(e_max if cap == n_max
-                                 else max(cap * e_max // n_max, 1)),
+                                 else min(max(4 * cap, 1), e_max)),
             question_len=cfg.question_len), vocab=vocab)
         for cap in caps
     }
@@ -111,42 +111,58 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
         return out.logits, out.node_mask
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup every bucket shape once
-    shapes_seen = set()
+    # Methodology (the tunnel makes this subtle):
+    # * group by bucket shape and time each stream separately —
+    #   serving keeps per-bucket queues, and switching the dispatched
+    #   executable costs a tunnel sync that isn't the model's fault;
+    # * every timed batch is distinct (identical re-executions are
+    #   served from the tunnel's dedup cache) and the warmup batch is
+    #   excluded;
+    # * per-shape time is the MEDIAN over chunks of ~5 batches — the
+    #   shared tunnel shows transient 2-3x congestion episodes that a
+    #   single long window would average in;
+    # * cost_analysis (a second compilation) runs only after timing.
+    groups: dict = {}
+    for b in batches:
+        groups.setdefault(b.node_tokens.shape, []).append(b)
+
+    per_group: dict = {}
+    for shape, group in sorted(groups.items()):
+        jax.block_until_ready(forward(params, group[0], key))   # warmup
+        timed = group[1:] if len(group) > 1 else group
+        chunk_ms = []
+        for i in range(0, len(timed), 5):
+            chunk = timed[i:i + 5]
+            t0 = time.perf_counter()
+            outs = [forward(params, b, key) for b in chunk]
+            jax.block_until_ready(outs)
+            chunk_ms.append((time.perf_counter() - t0) / len(chunk) * 1e3)
+        per_group[shape] = (float(np.median(chunk_ms)), len(timed))
+
     flops = 0.0
-    n_small = 0
-    for b in batches:
-        s = b.node_tokens.shape
-        if s not in shapes_seen:
-            shapes_seen.add(s)
-            jax.block_until_ready(forward(params, b, key))
-        if s[1] < cfg.max_nodes_per_graph:
-            n_small += 1
-    # mean flops per batch over the actual bucket mix
-    per_shape = {}
-    for b in batches:
-        s = b.node_tokens.shape
-        if s not in per_shape:
-            per_shape[s] = _flops_per_exec(
-                lambda p, bb, k: forward(p, bb, k), params, b, key)
-        flops += per_shape[s]
+    total_ms = 0.0
+    n_small = n_timed = 0
+    for shape, group in sorted(groups.items()):
+        ms, n = per_group[shape]
+        total_ms += ms * n
+        n_timed += n
+        if shape[1] < cfg.max_nodes_per_graph:
+            n_small += n
+        flops += n * _flops_per_exec(
+            lambda p, bb, k: forward(p, bb, k), params, group[0], key)
 
-    t0 = time.perf_counter()
-    outs = [forward(params, batches[i], key) for i in range(len(batches))]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-
-    n_q = batch_size * len(batches)
-    qps = n_q / dt
+    n_q = batch_size * n_timed
+    qps = n_q / (total_ms / 1e3)
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
         "qps_per_chip": qps / n_chips,
-        "ms_per_batch": dt / len(batches) * 1e3,
-        "batches": len(batches),
-        "small_bucket_frac": n_small / max(len(batches), 1),
+        "ms_per_batch": total_ms / n_timed,
+        "batches": n_timed,
+        "small_bucket_frac": n_small / max(n_timed, 1),
         "flops_per_question": flops / max(n_q, 1),
-        "mfu": (flops / dt) / (PRACTICAL_PEAK_TFLOPS * 1e12 * n_chips),
+        "mfu": (flops / (total_ms / 1e3))
+               / (PRACTICAL_PEAK_TFLOPS * 1e12 * n_chips),
     }
 
 
@@ -167,23 +183,27 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
 
     step = jax.jit(make_train_step(model, optimizer, cfg))
     rng = jax.random.PRNGKey(0)
-    shapes_seen = set()
-    for b in batches:                      # compile per bucket shape
-        if b.node_tokens.shape not in shapes_seen:
-            shapes_seen.add(b.node_tokens.shape)
-            state2, m = step(state, b, rng)
-            jax.block_until_ready(m)
-
-    t0 = time.perf_counter()
+    groups: dict = {}
     for b in batches:
-        state, m = step(state, b, rng)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
+        groups.setdefault(b.node_tokens.shape, []).append(b)
+
+    total_dt = 0.0
+    n_timed = 0
+    for shape, group in sorted(groups.items()):
+        _, m = step(state, group[0], rng)         # compile + warmup
+        jax.block_until_ready(m)
+        timed = group[1:] if len(group) > 1 else group
+        n_timed += len(timed)
+        t0 = time.perf_counter()
+        for b in timed:                           # state update chains
+            state, m = step(state, b, rng)
+        jax.block_until_ready(m)
+        total_dt += time.perf_counter() - t0
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
-        "train_qps_per_chip": batch_size * len(batches) / dt / n_chips,
-        "ms_per_step": dt / len(batches) * 1e3,
+        "train_qps_per_chip": batch_size * n_timed / total_dt / n_chips,
+        "ms_per_step": total_dt / n_timed * 1e3,
     }
 
 
@@ -193,7 +213,7 @@ def main():
                     help="bench all samplers + train steps; write "
                          "docs/bench_details.md")
     ap.add_argument("--batch-size", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=22)
     args = ap.parse_args()
 
     head = bench_inference("gumbel", args.batch_size, args.iters)

@@ -79,14 +79,15 @@ def build_datasets(cfg: Config) -> DataBundle:
         )
 
     # node caps ascending, clamped to the configured maximum; the edge
-    # cap scales with the node cap (same edges-per-node budget)
+    # cap gives smaller buckets a fatter edges-per-node budget (4x the
+    # node cap — measured free on TPU at these shapes, and it keeps
+    # edge-heavy small graphs out of the expensive large bucket)
     n_max, e_max = cfg.max_nodes_per_graph, cfg.max_edges_per_graph
     caps = sorted({min(c, n_max) for c in (cfg.bucket_node_caps or ())}
                   | {n_max})
 
     def e_cap_for(n_cap: int) -> int:
-        return e_max if n_cap == n_max else max(
-            (n_cap * e_max) // n_max, 1)
+        return e_max if n_cap == n_max else min(max(4 * n_cap, 1), e_max)
 
     eval_bs = cfg.batch_size * cfg.eval_batch_factor   # build.py:55-67
     split_bs = {"train": cfg.batch_size, "dev": eval_bs, "testdev": eval_bs}

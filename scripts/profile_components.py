@@ -33,16 +33,18 @@ def timeit(fn, *args, iters=30, label=""):
 
 
 def main():
+    import sys
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    e = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     cfg = Config(batch_size=BS, compute_dtype="bfloat16",
                  sampler_type="gumbel", sample_k=3, question_len=32,
-                 max_nodes_per_graph=64, nodes_per_graph_budget=28,
-                 edges_per_graph_budget=120)
+                 max_nodes_per_graph=n, max_edges_per_graph=e)
     vocab = SceneGraphVocab.build(cfg.meta_dir)
     answers = AnswerMap.build(cfg.meta_dir, cfg.num_answers)
     ds = SyntheticGQA(vocab, answers, size=BS, seed=0)
-    spec = BucketSpec(BS, cfg.nodes_per_graph_budget,
-                      cfg.edges_per_graph_budget, cfg.max_nodes_per_graph,
-                      cfg.question_len)
+    spec = BucketSpec(BS, max_nodes_per_graph=n, max_edges_per_graph=e,
+                      question_len=cfg.question_len)
+    print(f"shapes: B={BS} N={n} E={e}")
     tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size, max_len=32)
     coll = Collator(tok, spec, vocab=vocab)
     batch, _ = coll.collate([ds[i] for i in range(BS)])

@@ -78,7 +78,7 @@ def test_build_datasets_bucket_collators_default_on():
         caps = sorted(bundle.bucket_collators[split])
         assert caps == [32, 128]
         assert (bundle.bucket_collators[split][32].spec.max_edges_per_graph
-                == 96)
+                == 128)
         assert (bundle.bucket_collators[split][128].spec.max_edges_per_graph
                 == 384)
         # the plain collator is the largest bucket's
