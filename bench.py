@@ -54,10 +54,10 @@ def _cfg(sampler: str, batch_size: int, dtype: str):
 def build_bench_setup(cfg, num_batches: int = 12):
     """Model + a stream of bucket-mixed distinct batches (the tunnel
     dedups identical executions, so every timed dispatch is unique)."""
-    from isubgvqa_tpu.data import (AnswerMap, BucketSpec, Collator,
-                                   HashWordTokenizer, SceneGraphVocab,
-                                   SyntheticGQA)
+    from isubgvqa_tpu.data import (AnswerMap, HashWordTokenizer,
+                                   SceneGraphVocab, SyntheticGQA)
     from isubgvqa_tpu.data.batching import iterate_batches_bucketed
+    from isubgvqa_tpu.data.build import build_bucket_collators
     from isubgvqa_tpu.models.build import build_model, init_model
 
     vocab = SceneGraphVocab.build(cfg.meta_dir, seed=cfg.seed)
@@ -66,16 +66,8 @@ def build_bench_setup(cfg, num_batches: int = 12):
                       seed=0)
     tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
                             max_len=cfg.question_len)
-    n_max, e_max = cfg.max_nodes_per_graph, cfg.max_edges_per_graph
-    caps = sorted({min(c, n_max) for c in cfg.bucket_node_caps} | {n_max})
-    collators = {
-        cap: Collator(tok, BucketSpec(
-            batch_size=cfg.batch_size, max_nodes_per_graph=cap,
-            max_edges_per_graph=(e_max if cap == n_max
-                                 else min(max(4 * cap, 1), e_max)),
-            question_len=cfg.question_len), vocab=vocab)
-        for cap in caps
-    }
+    collators = build_bucket_collators(cfg, tok, vocab,
+                                       batch_size=cfg.batch_size)
     batches = [b for b, _ in iterate_batches_bucketed(ds, collators,
                                                       drop_last=True)]
     cfg = dataclasses.replace(cfg, num_answers=len(answers))
@@ -124,7 +116,8 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
     # * cost_analysis (a second compilation) runs only after timing.
     groups: dict = {}
     for b in batches:
-        groups.setdefault(b.node_tokens.shape, []).append(b)
+        groups.setdefault((b.node_tokens.shape, b.qst_tokens.shape),
+                          []).append(b)
 
     per_group: dict = {}
     for shape, group in sorted(groups.items()):
@@ -146,7 +139,7 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
         ms, n = per_group[shape]
         total_ms += ms * n
         n_timed += n
-        if shape[1] < cfg.max_nodes_per_graph:
+        if shape[0][1] < cfg.max_nodes_per_graph:
             n_small += n
         flops += n * _flops_per_exec(
             lambda p, bb, k: forward(p, bb, k), params, group[0], key)
@@ -185,7 +178,8 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     rng = jax.random.PRNGKey(0)
     groups: dict = {}
     for b in batches:
-        groups.setdefault(b.node_tokens.shape, []).append(b)
+        groups.setdefault((b.node_tokens.shape, b.qst_tokens.shape),
+                          []).append(b)
 
     total_dt = 0.0
     n_timed = 0

@@ -62,6 +62,14 @@ class Config:
     # full cap's padding (PyG ragged-batching parity, gqa.py:260).
     # Empty tuple disables bucketing.
     bucket_node_caps: Tuple[int, ...] = (32, 128)
+    # question-length caps crossed with the node caps.  GQA questions
+    # are 7-20 CLIP tokens; padding every batch to question_len wastes
+    # more than half the question-transformer FLOPs (which dominate
+    # the forward).  The reference pads per batch (gqa.py:253-258,
+    # padding=True) — length bucketing is the static-shape version of
+    # that, with the same property that a question's encoding depends
+    # on its batch's padded length (the additive float-mask quirk).
+    bucket_question_lens: Tuple[int, ...] = (16,)
     synthetic: bool = False                 # use the synthetic mini-GQA fixture
     synthetic_size: int = 2048
 
@@ -115,4 +123,6 @@ class Config:
             d["mgat_masks"] = tuple(d["mgat_masks"])
         if "bucket_node_caps" in d and d["bucket_node_caps"] is not None:
             d["bucket_node_caps"] = tuple(d["bucket_node_caps"])
+        if "bucket_question_lens" in d and d["bucket_question_lens"] is not None:
+            d["bucket_question_lens"] = tuple(d["bucket_question_lens"])
         return cls(**d)

@@ -209,26 +209,41 @@ def iterate_batches_bucketed(
     num_shards: int = 1,
 ) -> Iterator[tuple[GraphBatch, BatchMeta]]:
     """Size-bucketed iteration: each sample goes to the smallest bucket
-    whose node *and* edge caps fit its graph, so small graphs don't pay
-    the largest graph's padding.  ``collators`` maps node-cap ->
-    Collator (one jit specialization per bucket).  GQA's node-count
-    distribution (~17 mean, ~100 max) makes a (32, 128) pair a good
-    default.
+    whose node, edge, *and* question-length caps fit it, so small
+    graphs don't pay the largest graph's padding and short questions
+    don't pay the longest question's transformer FLOPs.
+
+    ``collators`` maps bucket key -> Collator (one jit specialization
+    per bucket).  Keys are ``(node_cap, question_len_cap)`` tuples
+    (:func:`~isubgvqa_tpu.data.build.build_bucket_collators`); bare
+    node-cap int keys are also accepted (question length then plays no
+    part in routing).  Buckets are tried in ascending (node, qlen)
+    order; the last (largest) bucket is the truncating fallback.
     """
-    caps = sorted(collators.keys())
+    def norm_key(k):
+        return k if isinstance(k, tuple) else (k, None)
+
+    caps = sorted(collators.keys(), key=norm_key)
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
     idx = idx[shard_index::num_shards]
 
+    def fits(sample, key) -> bool:
+        coll = collators[key]
+        g = sample.graph
+        if (g.num_nodes > coll.spec.max_nodes_per_graph
+                or g.edge_src.shape[0] > coll.spec.max_edges_per_graph):
+            return False
+        if isinstance(key, tuple):
+            return (coll.tokenizer.count_tokens(sample.question)
+                    <= coll.spec.question_len)
+        return True
+
     per_bucket: dict = {c: [] for c in caps}
     for j in idx:
-        g = dataset[int(j)].graph
-        n, e = g.num_nodes, g.edge_src.shape[0]
-        cap = next(
-            (c for c in caps
-             if n <= c and e <= collators[c].spec.max_edges_per_graph),
-            caps[-1])
+        sample = dataset[int(j)]
+        cap = next((c for c in caps if fits(sample, c)), caps[-1])
         per_bucket[cap].append(int(j))
 
     rng = np.random.default_rng(seed + 1)

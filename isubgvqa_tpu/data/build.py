@@ -70,35 +70,49 @@ def build_datasets(cfg: Config) -> DataBundle:
             "testdev": GQADataset("testdev", store, answers, cfg.data_dir),
         }
 
-    def spec(bs: int, n_cap: int, e_cap: int) -> BucketSpec:
-        return BucketSpec(
-            batch_size=bs,
-            max_nodes_per_graph=n_cap,
-            max_edges_per_graph=e_cap,
-            question_len=cfg.question_len,
-        )
-
-    # node caps ascending, clamped to the configured maximum; the edge
-    # cap gives smaller buckets a fatter edges-per-node budget (4x the
-    # node cap — measured free on TPU at these shapes, and it keeps
-    # edge-heavy small graphs out of the expensive large bucket)
-    n_max, e_max = cfg.max_nodes_per_graph, cfg.max_edges_per_graph
-    caps = sorted({min(c, n_max) for c in (cfg.bucket_node_caps or ())}
-                  | {n_max})
-
-    def e_cap_for(n_cap: int) -> int:
-        return e_max if n_cap == n_max else min(max(4 * n_cap, 1), e_max)
-
     eval_bs = cfg.batch_size * cfg.eval_batch_factor   # build.py:55-67
     split_bs = {"train": cfg.batch_size, "dev": eval_bs, "testdev": eval_bs}
     bucket_collators = {
-        split: {cap: Collator(tokenizer,
-                              spec(bs, cap, e_cap_for(cap)), vocab=vocab)
-                for cap in caps}
+        split: build_bucket_collators(cfg, tokenizer, vocab, batch_size=bs)
         for split, bs in split_bs.items()
     }
-    collators = {split: colls[n_max]
+    n_max, q_max = cfg.max_nodes_per_graph, cfg.question_len
+    collators = {split: colls[(n_max, q_max)]
                  for split, colls in bucket_collators.items()}
     return DataBundle(datasets=datasets, collators=collators, vocab=vocab,
                       answers=answers, tokenizer=tokenizer,
                       bucket_collators=bucket_collators)
+
+
+def build_bucket_collators(cfg: Config, tokenizer, vocab,
+                           batch_size: int) -> Dict[tuple, Collator]:
+    """Collators keyed by ``(node_cap, question_len_cap)`` over the
+    cross product of the configured node and question-length buckets.
+
+    * node caps ascend and clamp to the configured maximum; each small
+      bucket gets a 4x-nodes edge budget (measured free on TPU at
+      these shapes, and it keeps edge-heavy small graphs out of the
+      expensive large bucket);
+    * question-length caps clamp to ``cfg.question_len`` — GQA
+      questions are mostly <= 16 CLIP tokens, and the question
+      transformer is over half the forward's FLOPs.
+    """
+    n_max, e_max = cfg.max_nodes_per_graph, cfg.max_edges_per_graph
+    q_max = cfg.question_len
+    n_caps = sorted({min(c, n_max) for c in (cfg.bucket_node_caps or ())}
+                    | {n_max})
+    q_caps = sorted({min(q, q_max) for q in (cfg.bucket_question_lens or ())}
+                    | {q_max})
+
+    def e_cap_for(n_cap: int) -> int:
+        return e_max if n_cap == n_max else min(max(4 * n_cap, 1), e_max)
+
+    return {
+        (n_cap, q_cap): Collator(
+            tokenizer,
+            BucketSpec(batch_size=batch_size, max_nodes_per_graph=n_cap,
+                       max_edges_per_graph=e_cap_for(n_cap),
+                       question_len=q_cap),
+            vocab=vocab)
+        for n_cap in n_caps for q_cap in q_caps
+    }

@@ -67,6 +67,11 @@ class HashWordTokenizer:
         ids.append(self.eos_id)
         return ids
 
+    def count_tokens(self, text: str) -> int:
+        """Token count incl. bos/eos — used by question-length
+        bucketing to route a sample to the smallest length cap."""
+        return len(self.encode(text))
+
     def decode_token(self, token_id: int) -> str:
         return f"<tok{token_id}>"
 

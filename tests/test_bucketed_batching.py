@@ -65,24 +65,48 @@ def test_bucket_selection_respects_edge_cap():
 
 
 def test_build_datasets_bucket_collators_default_on():
-    """Config default wires (32, max) buckets into the bundle; edge
-    caps scale with the node cap."""
+    """Config default wires (32, max)x(16, max) buckets into the
+    bundle; small buckets get the 4x-nodes edge budget."""
     from isubgvqa_tpu.config import Config
     from isubgvqa_tpu.data.build import build_datasets
 
     cfg = Config(synthetic=True, synthetic_size=32, batch_size=4,
-                 num_answers=32, text_vocab_size=256, question_len=12,
+                 num_answers=32, text_vocab_size=256, question_len=24,
                  meta_dir="")
     bundle = build_datasets(cfg)
     for split in ("train", "dev", "testdev"):
         caps = sorted(bundle.bucket_collators[split])
-        assert caps == [32, 128]
-        assert (bundle.bucket_collators[split][32].spec.max_edges_per_graph
-                == 128)
-        assert (bundle.bucket_collators[split][128].spec.max_edges_per_graph
-                == 384)
+        assert caps == [(32, 16), (32, 24), (128, 16), (128, 24)]
+        colls = bundle.bucket_collators[split]
+        assert colls[(32, 16)].spec.max_edges_per_graph == 128
+        assert colls[(128, 24)].spec.max_edges_per_graph == 384
+        assert colls[(32, 16)].spec.question_len == 16
         # the plain collator is the largest bucket's
-        assert bundle.collators[split] is bundle.bucket_collators[split][128]
+        assert bundle.collators[split] is colls[(128, 24)]
     # eval batch x4 carries into every bucket (datasets/build.py:55-67)
     assert all(c.spec.batch_size == 16
                for c in bundle.bucket_collators["dev"].values())
+
+
+def test_question_len_bucket_routing():
+    """Short questions ride the short-question bucket; long ones
+    overflow to the longer cap (the reference's per-batch dynamic
+    padding, gqa.py:253-258, as static buckets)."""
+    from isubgvqa_tpu.config import Config
+    from isubgvqa_tpu.data.build import build_datasets
+
+    cfg = Config(synthetic=True, synthetic_size=48, batch_size=4,
+                 num_answers=32, text_vocab_size=256, question_len=32,
+                 meta_dir="")
+    bundle = build_datasets(cfg)
+    ds = bundle.datasets["train"]
+    tok = bundle.tokenizer
+    seen_qlens = set()
+    for batch, meta in iterate_batches_bucketed(
+            ds, bundle.bucket_collators["train"]):
+        L = batch.qst_tokens.shape[1]
+        seen_qlens.add(L)
+        for q in meta.questions:
+            assert tok.count_tokens(q) <= L
+    # synthetic questions are all short -> everything at the 16 cap
+    assert seen_qlens == {16}
