@@ -40,10 +40,13 @@ _NEG = -1.0e30
 
 
 def _kernel(
-    # per-graph blocks
+    # per-program blocks (N = G * nodes-per-graph when G graphs are
+    # packed into one program; the incidence one-hots realize the
+    # block-diagonal structure for free, and per-graph reductions run
+    # through the [N, G] graph one-hot)
     h_ref,        # [N, C]   pre-fusion node features (residual input)
     xf_ref,       # [N, C]   instruction-fused node features
-    instr_ref,    # [1, C]   this layer's instruction vector
+    instr_ref,    # [G, C]   instruction vector per packed graph
     gate_ref,     # [N, 1]   node mask gate (ones when unmasked)
     src_ref,      # [E, 1]   int32 source positions
     dst_ref,      # [E, 1]   int32 destination positions
@@ -147,22 +150,38 @@ def _kernel(
                 preferred_element_type=f32) + b2_ref[:].astype(f32)
     p = gelu_exact(p)                                       # [N, C]
 
-    # instruction-conditioned SDP reweighting over the graph's nodes
-    ins = instr_ref[:].astype(f32)                           # [1, C]
-    sdp_logits = jnp.sum(p * ins, axis=1, keepdims=True)     # [N, 1]
+    # graph-segment one-hot: node row -> its packed graph
+    g_count = instr_ref.shape[0]
+    npg = n // g_count
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (n, g_count), 0) // npg
+    g_col = jax.lax.broadcasted_iota(jnp.int32, (n, g_count), 1)
+    oh_g = (g_iota == g_col).astype(f32)                     # [N, G]
+
+    # instruction-conditioned SDP reweighting over each graph's nodes
+    ins_node = jnp.dot(oh_g, instr_ref[:].astype(f32),
+                       preferred_element_type=f32)           # [N, C]
+    sdp_logits = jnp.sum(p * ins_node, axis=1, keepdims=True)  # [N, 1]
     sdp_logits = sdp_logits / math.sqrt(p.shape[-1])
     sdp_logits = jnp.where(nmask > 0, sdp_logits, _NEG)
-    sdp_logits = sdp_logits - jnp.max(sdp_logits, axis=0, keepdims=True)
-    sdp_exp = jnp.exp(sdp_logits) * nmask
-    sdp_denom = jnp.sum(sdp_exp, axis=0, keepdims=True)
-    sdp = sdp_exp / jnp.where(sdp_denom > 1e-12, sdp_denom, 1.0)
+    lg = jnp.where(oh_g > 0, sdp_logits, _NEG)               # [N, G]
+    gmax = jnp.max(lg, axis=0, keepdims=True)                # [1, G]
+    mx = jnp.sum(oh_g * gmax, axis=1, keepdims=True)         # [N, 1]
+    sdp_exp = jnp.exp(sdp_logits - mx) * nmask
+    dsum = jnp.dot(oh_g.T, sdp_exp, preferred_element_type=f32)  # [G, 1]
+    den = jnp.dot(oh_g, dsum, preferred_element_type=f32)    # [N, 1]
+    sdp = sdp_exp / jnp.where(den > 1e-12, den, 1.0)
     p = p * sdp                                              # [N, C]
 
-    # GraphNorm over the graph's valid nodes
-    count = jnp.maximum(jnp.sum(nmask, axis=0, keepdims=True), 1.0)
-    mean = jnp.sum(p * nmask, axis=0, keepdims=True) / count
+    # GraphNorm over each packed graph's valid nodes
+    count = jnp.maximum(jnp.dot(oh_g.T, nmask,
+                                preferred_element_type=f32), 1.0)  # [G, 1]
+    mean_g = jnp.dot(oh_g.T, p * nmask,
+                     preferred_element_type=f32) / count     # [G, C]
+    mean = jnp.dot(oh_g, mean_g, preferred_element_type=f32)  # [N, C]
     shifted = p - gn_a_ref[:].astype(f32) * mean
-    var = jnp.sum(shifted * shifted * nmask, axis=0, keepdims=True) / count
+    var_g = jnp.dot(oh_g.T, shifted * shifted * nmask,
+                    preferred_element_type=f32) / count
+    var = jnp.dot(oh_g, var_g, preferred_element_type=f32)
     normed = shifted * jax.lax.rsqrt(var + eps)
     normed = normed * nmask
     p = normed * gn_w_ref[:].astype(f32) + gn_b_ref[:].astype(f32)
@@ -188,12 +207,24 @@ def fused_gat_layer(
     negative_slope: float = 0.2,
     apply_mask_to_h: bool = False,
     interpret: bool = False,
+    pack: int | None = None,
 ):
     """Run the fused layer; returns ``(out [B,N,C], alpha [B,E,H])``.
 
     ``params`` keys: wl, bl, wr, br, att (H, C//?), expand, cbias,
     w1, b1, w2, b2, gn_w, gn_b, gn_a — prepacked by the caller (see
     :func:`pack_gat_params`).
+
+    ``pack``: number of graphs fused into one grid program.  Packing
+    multiplies the MXU contraction dim (K = packed node count) and
+    divides the program count by G; the incidence one-hots realize the
+    block-diagonal edge structure with no math change, and SDP /
+    GraphNorm reduce through a [N, G] graph one-hot.  Measured on this
+    chip the layer is DMA-bound on the [E, H·C] edge block (invariant
+    under packing), so packing is neutral end-to-end and the default
+    is unpacked; the capability stays (exactness pinned by
+    ``tests/test_gat_kernel.py::test_graph_packing_is_exact``) for
+    parts where per-program latency dominates.
     """
     b, n, c = h.shape
     e = src.shape[1]
@@ -201,6 +232,53 @@ def fused_gat_layer(
     nheads = params["attb"].shape[1]
     p_dim = params["w1"].shape[1]
     dtype = h.dtype
+
+    if pack is None:
+        pack = 1
+    pack = min(pack, max(128 // n, 1), max(384 // e, 1))
+    if pack > 1:
+        pad = (-b) % pack
+        if pad:
+            def padb(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            h, xf, instr, gate, src, dst, eproj = map(
+                padb, (h, xf, instr, gate, src, dst, eproj))
+            edge_mask = padb(edge_mask)
+            node_mask = padb(node_mask)
+        bp = (b + pad) // pack
+        offs = (jnp.arange(pack, dtype=jnp.int32) * n)[None, :, None]
+        src_p = (src.reshape(bp, pack, e).astype(jnp.int32)
+                 + offs).reshape(bp, pack * e)
+        dst_p = (dst.reshape(bp, pack, e).astype(jnp.int32)
+                 + offs).reshape(bp, pack * e)
+        out, alpha = _fused_gat_call(
+            h.reshape(bp, pack * n, c), xf.reshape(bp, pack * n, c),
+            instr.reshape(bp, pack, c), gate.reshape(bp, pack * n, 1),
+            src_p, dst_p, edge_mask.reshape(bp, pack * e),
+            node_mask.reshape(bp, pack * n),
+            eproj.reshape(bp, pack * e, hc), params, negative_slope,
+            apply_mask_to_h, interpret, n_graphs=pack)
+        out = out.reshape(bp * pack, n, c)[:b]
+        alpha = alpha.reshape(bp * pack, e, nheads)[:b]
+        return out.astype(dtype), alpha
+    return _fused_gat_call(h, xf, instr[:, None, :], gate, src, dst,
+                           edge_mask, node_mask, eproj, params,
+                           negative_slope, apply_mask_to_h, interpret,
+                           n_graphs=1)
+
+
+def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
+                    eproj, params, negative_slope, apply_mask_to_h,
+                    interpret, n_graphs: int):
+    """pallas_call plumbing; ``instr`` arrives ``[B, G, C]``."""
+    b, n, c = h.shape
+    e = src.shape[1]
+    hc = params["wl"].shape[1]
+    nheads = params["attb"].shape[1]
+    p_dim = params["w1"].shape[1]
+    dtype = h.dtype
+    g = n_graphs
 
     # Mosaic (this toolchain) rejects some bf16 lane broadcasts, so all
     # elementwise work is f32.  The per-graph [E, H*C] edge block —
@@ -241,7 +319,7 @@ def fused_gat_layer(
         in_specs=[
             in2((n, c)),          # h
             in2((n, c)),          # xf
-            in2((1, c)),          # instr
+            in2((g, c)),          # instr (one row per packed graph)
             in2((n, 1)),          # gate
             in2((e, 1)),          # src
             in2((e, 1)),          # dst
@@ -266,7 +344,7 @@ def fused_gat_layer(
         out_shape=out_shape,
         interpret=interpret,
     )(
-        h, xf, instr[:, None, :], gate,
+        h, xf, instr, gate,
         src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
         edge_mask[..., None].astype(f32), node_mask[..., None].astype(f32),
         eproj,

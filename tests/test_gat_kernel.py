@@ -74,6 +74,32 @@ def test_kernel_matches_reference(rng, apply_mask):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("pack", [1, 2, 3, 4])
+def test_graph_packing_is_exact(rng, pack):
+    """Packing G graphs per program (block-diagonal incidences +
+    [N, G] graph one-hot for SDP/GraphNorm) must be bit-compatible
+    with the unpacked kernel, including when B % pack != 0 (padded
+    all-masked graphs)."""
+    args = make_inputs(rng, b=5, n=16, e=40)
+    out_1, alpha_1 = fused_gat_layer(**args, interpret=True, pack=1)
+    out_p, alpha_p = fused_gat_layer(**args, interpret=True, pack=pack)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_1),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_explicit_pack_matches_reference(rng):
+    """A packed kernel run must still match the XLA reference."""
+    args = make_inputs(rng, b=6, n=16, e=40)
+    out_k, alpha_k = fused_gat_layer(**args, interpret=True, pack=3)
+    out_r, alpha_r = gat_layer_reference(**args)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_alpha_normalized_per_destination(rng):
     args = make_inputs(rng, b=1)
     _, alpha = fused_gat_layer(**args, interpret=True)
