@@ -58,7 +58,8 @@ def build_bench_setup(cfg, num_batches: int = 12):
                                    SceneGraphVocab, SyntheticGQA)
     from isubgvqa_tpu.data.batching import iterate_batches_bucketed
     from isubgvqa_tpu.data.build import build_bucket_collators
-    from isubgvqa_tpu.models.build import build_model, init_model
+    from isubgvqa_tpu.models.build import (build_model, init_model,
+                                           make_aimle_states)
 
     vocab = SceneGraphVocab.build(cfg.meta_dir, seed=cfg.seed)
     answers = AnswerMap.build(cfg.meta_dir, cfg.num_answers)
@@ -72,8 +73,10 @@ def build_bench_setup(cfg, num_batches: int = 12):
                                                       drop_last=True)]
     cfg = dataclasses.replace(cfg, num_answers=len(answers))
     model = build_model(cfg, vocab)
-    params, batch_stats = init_model(model, batches[0])
-    return model, params, batch_stats, batches, cfg
+    aimle_states = make_aimle_states(cfg)
+    params, batch_stats = init_model(model, batches[0],
+                                     aimle_states=aimle_states)
+    return model, params, batch_stats, batches, cfg, aimle_states
 
 
 def _flops_per_exec(fn, *args) -> float:
@@ -90,7 +93,8 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
                     iters: int = 12, dtype: str = "bfloat16"):
     """-> dict with qps/chip, ms/batch, mfu estimate."""
     cfg = _cfg(sampler, batch_size, dtype)
-    model, params, batch_stats, batches, cfg = build_bench_setup(cfg, iters)
+    (model, params, batch_stats, batches, cfg,
+     aimle_states) = build_bench_setup(cfg, iters)
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
     batch_stats = jax.device_put(batch_stats, dev)
@@ -99,7 +103,8 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
     @jax.jit
     def forward(params, batch, key):
         out = model.apply({"params": params, "batch_stats": batch_stats},
-                          batch, train=False, rngs={"sampler": key})
+                          batch, train=False, aimle_states=aimle_states,
+                          rngs={"sampler": key})
         return out.logits, out.node_mask
 
     key = jax.random.PRNGKey(0)
@@ -167,7 +172,7 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     from isubgvqa_tpu.train.steps import make_train_step
 
     cfg = _cfg(sampler, batch_size, dtype)
-    model, params, batch_stats, batches, cfg = build_bench_setup(cfg, iters)
+    model, params, batch_stats, batches, cfg, _ = build_bench_setup(cfg, iters)
     optimizer = make_optimizer(cfg.lr, steps_per_epoch=8)
     state = create_train_state(model, optimizer, batches[0], cfg)
     dev = jax.devices()[0]
