@@ -183,11 +183,19 @@ def iterate_batches(
 ) -> Iterator[tuple[GraphBatch, BatchMeta]]:
     """Fixed-shape batch iterator with DistributedSampler-like sharding
     (reference ``datasets/build.py:44-53``): each data-parallel process
-    takes a strided slice of the (optionally shuffled) index list."""
+    takes a strided slice of the (optionally shuffled) index list.  As
+    in ``DistributedSampler``, the index list is wrap-padded to a
+    multiple of ``num_shards`` so every process sees the same number of
+    samples — and therefore issues the same number of (collective-
+    bearing) steps in multi-host SPMD."""
     b = collator.spec.batch_size
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
+    if num_shards > 1:
+        pad = (-len(idx)) % num_shards
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
     idx = idx[shard_index::num_shards]
     n_full = len(idx) // b
     for i in range(n_full):
@@ -219,32 +227,45 @@ def iterate_batches_bucketed(
     node-cap int keys are also accepted (question length then plays no
     part in routing).  Buckets are tried in ascending (node, qlen)
     order; the last (largest) bucket is the truncating fallback.
+
+    Multi-process caveat: with ``num_shards > 1`` each process routes
+    *its own* samples, so hosts see different batch-shape sequences —
+    unusable for lock-step SPMD steps that carry cross-host
+    collectives.  The Trainer therefore only buckets single-process
+    runs (``train/loop.py:_iter_split``).
     """
     def norm_key(k):
-        return k if isinstance(k, tuple) else (k, None)
+        # bare int keys carry no question-length constraint: order them
+        # after same-node-cap tuple keys (least specific last)
+        return k if isinstance(k, tuple) else (k, float("inf"))
 
     caps = sorted(collators.keys(), key=norm_key)
+    any_qlen = any(isinstance(k, tuple) for k in caps)
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
     idx = idx[shard_index::num_shards]
 
-    def fits(sample, key) -> bool:
-        coll = collators[key]
-        g = sample.graph
-        if (g.num_nodes > coll.spec.max_nodes_per_graph
-                or g.edge_src.shape[0] > coll.spec.max_edges_per_graph):
-            return False
-        if isinstance(key, tuple):
-            return (coll.tokenizer.count_tokens(sample.question)
-                    <= coll.spec.question_len)
-        return True
-
+    # every collator shares one tokenizer, so the (BPE) token count is
+    # computed once per sample, and the fetched sample object is kept
+    # for collation instead of re-fetching by index
     per_bucket: dict = {c: [] for c in caps}
     for j in idx:
         sample = dataset[int(j)]
-        cap = next((c for c in caps if fits(sample, c)), caps[-1])
-        per_bucket[cap].append(int(j))
+        g = sample.graph
+        n, e = g.num_nodes, g.edge_src.shape[0]
+        q = (collators[caps[0]].tokenizer.count_tokens(sample.question)
+             if any_qlen else 0)
+        for key in caps:
+            spec = collators[key].spec
+            if (n <= spec.max_nodes_per_graph
+                    and e <= spec.max_edges_per_graph
+                    and (not isinstance(key, tuple)
+                         or q <= spec.question_len)):
+                per_bucket[key].append(sample)
+                break
+        else:
+            per_bucket[caps[-1]].append(sample)
 
     rng = np.random.default_rng(seed + 1)
     schedule = []
@@ -260,4 +281,4 @@ def iterate_batches_bucketed(
     if shuffle:
         rng.shuffle(schedule)
     for cap, chunk in schedule:
-        yield collators[cap].collate([dataset[j] for j in chunk])
+        yield collators[cap].collate(chunk)

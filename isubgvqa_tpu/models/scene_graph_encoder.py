@@ -90,10 +90,12 @@ class SceneGraphEncoder(nn.Module):
         bb = batch.node_bbox.astype(x_sum.dtype)
         bb = MaskedBatchNorm(4, axis_name=self.bn_axis_name, name="bbox_bn0")(
             bb, mask=node_mask, use_running_average=use_ra)
-        bb = nn.gelu(nn.Dense(16, dtype=self.dtype, name="bbox_lin0")(bb))
+        bb = nn.gelu(nn.Dense(16, dtype=self.dtype, name="bbox_lin0")(bb),
+                     approximate=False)
         bb = MaskedBatchNorm(16, axis_name=self.bn_axis_name, name="bbox_bn1")(
             bb, mask=node_mask, use_running_average=use_ra)
-        bb = nn.gelu(nn.Dense(32, dtype=self.dtype, name="bbox_lin1")(bb))
+        bb = nn.gelu(nn.Dense(32, dtype=self.dtype, name="bbox_lin1")(bb),
+                     approximate=False)
 
         x = jnp.concatenate([x_sum, bb], axis=-1)             # [B, N, 332]
         x = MaskedBatchNorm(self.sg_emb_dim + 32, axis_name=self.bn_axis_name,

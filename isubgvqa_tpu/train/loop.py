@@ -70,10 +70,18 @@ class Trainer:
                     drop_last: bool):
         """Batch iterator for a split: size-bucketed when the bundle
         carries more than one bucket (one jit specialization per
-        bucket), else fixed-shape; always sharded per process."""
+        bucket), else fixed-shape; always sharded per process.
+
+        Bucketing is single-process only: with per-process index
+        sharding each host would route its own samples into buckets
+        independently, so hosts would issue mismatched batch-shape
+        sequences — and every step carries cross-host collectives, so
+        multi-host SPMD must stay in lock-step.  Multi-process runs
+        fall back to the fixed-shape iterator (whose wrap-padded
+        sharding guarantees equal step counts per host)."""
         ds = self.data.datasets[split]
         buckets = self.data.bucket_collators.get(split)
-        if buckets and len(buckets) > 1:
+        if buckets and len(buckets) > 1 and self.num_shards == 1:
             return iterate_batches_bucketed(
                 ds, buckets, shuffle=shuffle, seed=seed,
                 drop_last=drop_last, shard_index=self.shard_index,

@@ -88,6 +88,48 @@ def test_build_datasets_bucket_collators_default_on():
                for c in bundle.bucket_collators["dev"].values())
 
 
+def test_mixed_int_and_tuple_keys_sort():
+    """Bare int keys order after same-node-cap tuple keys instead of
+    raising on int-vs-None comparison."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=12, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    collators = {
+        (32, 12): Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                           max_edges_per_graph=160,
+                                           question_len=12), vocab=vocab),
+        32: Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                     max_edges_per_graph=160,
+                                     question_len=12), vocab=vocab),
+    }
+    seen = 0
+    for batch, meta in iterate_batches_bucketed(ds, collators):
+        seen += meta.num_real
+    assert seen == 12
+
+
+def test_sharded_iteration_equal_lengths():
+    """DistributedSampler parity: wrap-padding gives every shard the
+    same number of samples (and therefore steps)."""
+    from isubgvqa_tpu.data.batching import iterate_batches
+
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=13, seed=0)   # 13 % 4 != 0
+    tok = HashWordTokenizer(max_len=12)
+    coll = Collator(tok, BucketSpec(2, max_nodes_per_graph=32,
+                                    max_edges_per_graph=160,
+                                    question_len=12), vocab=vocab)
+    counts = []
+    for shard in range(4):
+        n = sum(m.num_real for _, m in iterate_batches(
+            ds, coll, shard_index=shard, num_shards=4))
+        counts.append(n)
+    assert len(set(counts)) == 1           # equal work per process
+    assert sum(counts) >= 13               # every sample covered
+
+
 def test_question_len_bucket_routing():
     """Short questions ride the short-question bucket; long ones
     overflow to the longer cap (the reference's per-batch dynamic
