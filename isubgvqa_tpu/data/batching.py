@@ -282,3 +282,36 @@ def iterate_batches_bucketed(
         rng.shuffle(schedule)
     for cap, chunk in schedule:
         yield collators[cap].collate(chunk)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run ``iterator`` in a background thread, keeping up to ``depth``
+    ready batches in a queue — the host collates the next batch while
+    the device executes the current step (the reference gets this from
+    torch DataLoader workers + pin_memory, ``datasets/build.py:70-90``).
+    Exceptions in the producer re-raise at the consuming site.  If the
+    consumer stops early, the daemon producer parks on the bounded
+    queue and is reclaimed at process exit."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:        # noqa: BLE001 — re-raised
+            q.put(exc)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

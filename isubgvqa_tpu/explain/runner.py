@@ -22,7 +22,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..data.batching import iterate_batches, iterate_batches_bucketed
+from ..data.batching import (iterate_batches, iterate_batches_bucketed,
+                             prefetch)
 from ..data.build import DataBundle
 from ..config import Config
 from .token_coo import (
@@ -92,7 +93,7 @@ def run_token_coo_exp(
         batches = iterate_batches_bucketed(ds, buckets)
     else:
         batches = iterate_batches(ds, data.collators[split])
-    for b_idx, (batch, meta) in enumerate(batches):
+    for b_idx, (batch, meta) in enumerate(prefetch(batches, depth=2)):
         if max_batches is not None and b_idx >= max_batches:
             break
         out = forward(state, batch, jax.random.fold_in(eval_rng, b_idx))

@@ -18,7 +18,8 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..data.batching import iterate_batches, iterate_batches_bucketed
+from ..data.batching import (iterate_batches, iterate_batches_bucketed,
+                             prefetch)
 from ..data.build import DataBundle
 from .distributed_metrics import reduce_dict
 from ..parallel.mesh import is_main_process, make_mesh, shard_batch, replicate
@@ -82,14 +83,18 @@ class Trainer:
         ds = self.data.datasets[split]
         buckets = self.data.bucket_collators.get(split)
         if buckets and len(buckets) > 1 and self.num_shards == 1:
-            return iterate_batches_bucketed(
+            it = iterate_batches_bucketed(
                 ds, buckets, shuffle=shuffle, seed=seed,
                 drop_last=drop_last, shard_index=self.shard_index,
                 num_shards=self.num_shards)
-        return iterate_batches(
-            ds, self.data.collators[split], shuffle=shuffle, seed=seed,
-            drop_last=drop_last, shard_index=self.shard_index,
-            num_shards=self.num_shards)
+        else:
+            it = iterate_batches(
+                ds, self.data.collators[split], shuffle=shuffle, seed=seed,
+                drop_last=drop_last, shard_index=self.shard_index,
+                num_shards=self.num_shards)
+        # overlap host collation with device compute (DataLoader-worker
+        # parity, datasets/build.py:70-90)
+        return prefetch(it, depth=2)
 
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg

@@ -130,6 +130,26 @@ def test_sharded_iteration_equal_lengths():
     assert sum(counts) >= 13               # every sample covered
 
 
+def test_prefetch_preserves_order_and_raises():
+    from isubgvqa_tpu.data.batching import prefetch
+
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="producer failed"):
+        next(it)
+
+    # early consumer stop must not deadlock
+    it = prefetch(iter(range(1000)), depth=2)
+    assert next(it) == 0
+
+
 def test_question_len_bucket_routing():
     """Short questions ride the short-question bucket; long ones
     overflow to the longer cap (the reference's per-batch dynamic
