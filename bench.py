@@ -14,7 +14,9 @@ batches (the Trainer/explain-runner default — small graphs at the
 32-token tiers) streaming *distinct* inputs,
 gumbel sampler with the reference's noisy eval forward.  Supplementary
 numbers (step time, FLOPs/question, MFU vs the measured ~39 TFLOP/s
-practical chip peak) go to stderr.
+practical chip peak) go to stderr.  FLOPs come from XLA cost analysis,
+which cannot see inside Pallas kernels — since lin_edge moved
+in-kernel the reported FLOPs/question and MFU are lower bounds.
 
 ``python bench.py --full`` additionally benchmarks the three other
 samplers (imle / aimle / simple) and the jitted *training* step for

@@ -59,6 +59,19 @@ _zeros = nn.initializers.zeros
 _lecun = nn.initializers.lecun_normal()
 
 
+class _RawKernel(nn.Module):
+    """Bare weight matrix registered at the same param path as an
+    ``nn.Dense(name=...)`` (``<name>/kernel``) so existing checkpoints
+    and the converter keep working."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _glorot, (self.in_dim, self.out_dim))
+
+
 class MGATLayer(nn.Module):
     """One masked GATv2 layer owning its raw parameters so the fused
     Pallas kernel and the differentiable XLA path share them."""
@@ -118,7 +131,8 @@ class MGATLayer(nn.Module):
         self,
         h_in: jax.Array,                 # [B, N, C]
         batch: GraphBatch,
-        eproj: jax.Array,                # [B, E, H*C] this layer's edges
+        edge_attr: jax.Array,            # [B, E, C] encoded edge feats
+        w_edge: jax.Array,               # [C, H*C] this layer's lin_edge
         instruction: jax.Array,          # [B, C]
         imle_att: jax.Array,             # [B, C] global language feats
         all_instrs: Optional[jax.Array] = None,
@@ -163,15 +177,29 @@ class MGATLayer(nn.Module):
         pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
         run_fused = (self.use_pallas and not train
                      and jax.default_backend() == "tpu" and not pinned_cpu)
-        fn = fused_gat_layer if run_fused else gat_layer_reference
-        out, alpha = fn(
-            h=h_in, xf=xf, instr=instruction, gate=gate,
-            src=batch.edge_src, dst=batch.edge_dst,
-            edge_mask=batch.edge_mask, node_mask=batch.node_mask,
-            eproj=eproj, params=params,
-            negative_slope=self.negative_slope,
-            apply_mask_to_h=apply_mask,
-        )
+        if run_fused:
+            # lin_edge runs inside the kernel — the [B, E, H*C]
+            # projection never materializes in HBM
+            out, alpha = fused_gat_layer(
+                h=h_in, xf=xf, instr=instruction, gate=gate,
+                src=batch.edge_src, dst=batch.edge_dst,
+                edge_mask=batch.edge_mask, node_mask=batch.node_mask,
+                e_attr=edge_attr, params={**params, "we": w_edge},
+                negative_slope=self.negative_slope,
+                apply_mask_to_h=apply_mask,
+            )
+        else:
+            dt = self.dtype or edge_attr.dtype
+            eproj = jnp.einsum("bec,ch->beh", edge_attr.astype(dt),
+                               w_edge.astype(dt))
+            out, alpha = gat_layer_reference(
+                h=h_in, xf=xf, instr=instruction, gate=gate,
+                src=batch.edge_src, dst=batch.edge_dst,
+                edge_mask=batch.edge_mask, node_mask=batch.node_mask,
+                eproj=eproj, params=params,
+                negative_slope=self.negative_slope,
+                apply_mask_to_h=apply_mask,
+            )
         return out, mask, alpha
 
 
@@ -237,13 +265,12 @@ class MGAT(nn.Module):
             node_head = MLP((512, self.num_node_classes), gelu_last=False,
                             dtype=self.dtype, name="node_logits")
 
-        # all layers' edge projections in one matmul (same contraction,
-        # different weights -> stacked output dim)
-        e_all = nn.Dense(self.num_ins * h * c, use_bias=False,
-                         kernel_init=_glorot, dtype=self.dtype,
-                         name="lin_edge_all")(edge_attr)
-        bn, e = batch.edge_src.shape
-        e_all = e_all.reshape(bn, e, self.num_ins, h * c)
+        # all layers' lin_edge weights live stacked under the same
+        # param path the previous nn.Dense used (lin_edge_all/kernel);
+        # each layer projects the shared encoded edges with its slice —
+        # the fused kernel does so in VMEM, the XLA path via einsum
+        ek = _RawKernel(edge_attr.shape[-1], self.num_ins * h * c,
+                        name="lin_edge_all")()
 
         global_mask = None
         if self.use_global_mask:
@@ -267,7 +294,8 @@ class MGAT(nn.Module):
                 nb_samples=self.nb_samples, alpha=self.alpha, beta=self.beta,
                 tau=self.tau, use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"conv{i}",
-            )(hcur, batch, e_all[:, :, i], ins, global_language_feats,
+            )(hcur, batch, edge_attr, ek[:, i * h * c:(i + 1) * h * c],
+              ins, global_language_feats,
               all_instrs=instr_vectors, train=train, aimle_state=st)
 
             node_masks.append(m_i)

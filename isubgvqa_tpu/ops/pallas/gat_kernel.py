@@ -52,8 +52,9 @@ def _kernel(
     dst_ref,      # [E, 1]   int32 destination positions
     emask_ref,    # [E, 1]   edge validity (float)
     nmask_ref,    # [N, 1]   node validity (float)
-    eproj_ref,    # [E, HC]  pre-projected edge features (this layer)
+    e_ref,        # [E, C]   edge features (bf16)
     # broadcast weight blocks
+    we_ref,                # [C, HC] lin_edge weight (bf16)
     wl_ref, bl_ref,        # [C, HC], [1, HC]
     wr_ref, br_ref,        # [C, HC], [1, HC]
     attb_ref,              # [HC, H] block-diagonal att vector
@@ -97,7 +98,15 @@ def _kernel(
     xs = jnp.dot(oh_src, x_l, preferred_element_type=f32)    # [E, HC]
     xd = jnp.dot(oh_dst, x_r, preferred_element_type=f32)
 
-    m = xs + xd + eproj_ref[:].astype(f32)                   # [E, HC]
+    # lin_edge IN-KERNEL: computing the [E, HC] edge projection here
+    # instead of materializing it for all 4 layers saves >1 GB of HBM
+    # round-trips per bench batch.  The f32 accumulation is rounded to
+    # bf16 to match the model's Dense(dtype=bf16) exactly (the
+    # differentiable XLA path computes the same projection upstream).
+    eproj = jnp.dot(e_ref[:], we_ref[:],
+                    preferred_element_type=f32)
+    eproj = eproj.astype(e_ref.dtype).astype(f32)            # [E, HC]
+    m = xs + xd + eproj
 
     # edge gate = gate[src]*gate[dst] (mgat_v2_conv.py:169-171)
     egate = (jnp.dot(oh_src, gate.astype(f32),
@@ -202,7 +211,7 @@ def fused_gat_layer(
     dst: jax.Array,          # [B, E] int32
     edge_mask: jax.Array,    # [B, E] bool
     node_mask: jax.Array,    # [B, N] bool
-    eproj: jax.Array,        # [B, E, HC]
+    e_attr: jax.Array,       # [B, E, C] edge features (pre lin_edge)
     params: dict,            # weight dict, see below
     negative_slope: float = 0.2,
     apply_mask_to_h: bool = False,
@@ -211,9 +220,11 @@ def fused_gat_layer(
 ):
     """Run the fused layer; returns ``(out [B,N,C], alpha [B,E,H])``.
 
-    ``params`` keys: wl, bl, wr, br, att (H, C//?), expand, cbias,
-    w1, b1, w2, b2, gn_w, gn_b, gn_a — prepacked by the caller (see
-    :func:`pack_gat_params`).
+    ``params`` keys: wl, bl, wr, br, attb, expand, cbias, w1, b1, w2,
+    b2, gn_w, gn_b, gn_a, plus ``we`` — this layer's lin_edge weight
+    ``[C, HC]``.  The edge projection is computed *inside* the kernel
+    from ``e_attr`` (bf16, Dense parity), so the ``[B, E, H·C]``
+    intermediate never exists in HBM.
 
     ``pack``: number of graphs fused into one grid program.  Packing
     multiplies the MXU contraction dim (K = packed node count) and
@@ -242,8 +253,8 @@ def fused_gat_layer(
             def padb(x):
                 return jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-            h, xf, instr, gate, src, dst, eproj = map(
-                padb, (h, xf, instr, gate, src, dst, eproj))
+            h, xf, instr, gate, src, dst, e_attr = map(
+                padb, (h, xf, instr, gate, src, dst, e_attr))
             edge_mask = padb(edge_mask)
             node_mask = padb(node_mask)
         bp = (b + pad) // pack
@@ -257,19 +268,19 @@ def fused_gat_layer(
             instr.reshape(bp, pack, c), gate.reshape(bp, pack * n, 1),
             src_p, dst_p, edge_mask.reshape(bp, pack * e),
             node_mask.reshape(bp, pack * n),
-            eproj.reshape(bp, pack * e, hc), params, negative_slope,
+            e_attr.reshape(bp, pack * e, c), params, negative_slope,
             apply_mask_to_h, interpret, n_graphs=pack)
         out = out.reshape(bp * pack, n, c)[:b]
         alpha = alpha.reshape(bp * pack, e, nheads)[:b]
         return out.astype(dtype), alpha
     return _fused_gat_call(h, xf, instr[:, None, :], gate, src, dst,
-                           edge_mask, node_mask, eproj, params,
+                           edge_mask, node_mask, e_attr, params,
                            negative_slope, apply_mask_to_h, interpret,
                            n_graphs=1)
 
 
 def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
-                    eproj, params, negative_slope, apply_mask_to_h,
+                    e_attr, params, negative_slope, apply_mask_to_h,
                     interpret, n_graphs: int):
     """pallas_call plumbing; ``instr`` arrives ``[B, G, C]``."""
     b, n, c = h.shape
@@ -281,14 +292,15 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     g = n_graphs
 
     # Mosaic (this toolchain) rejects some bf16 lane broadcasts, so all
-    # elementwise work is f32.  The per-graph [E, H*C] edge block —
-    # the largest double-buffered input — ships as bf16 (it is the
-    # model's compute dtype upstream anyway); weights stay f32 for
-    # accuracy, fitting the 16 MB VMEM budget at N=128/E=384.
+    # elementwise work is f32.  The [E, C] edge block and the lin_edge
+    # weight ship as bf16 (Dense-parity: the projection rounds through
+    # bf16 like the model's Dense(dtype=bf16)); remaining weights stay
+    # f32 for accuracy, fitting the 16 MB VMEM budget at N=128/E=384.
     f32 = jnp.float32
     h, xf, instr, gate = (t.astype(f32) for t in (h, xf, instr, gate))
-    eproj = eproj.astype(jnp.bfloat16)
-    params = {k: v.astype(f32) for k, v in params.items()}
+    e_attr = e_attr.astype(jnp.bfloat16)
+    we = params["we"].astype(jnp.bfloat16)
+    params = {k: v.astype(f32) for k, v in params.items() if k != "we"}
 
     kernel = functools.partial(_kernel, negative_slope=negative_slope,
                                apply_mask_to_h=apply_mask_to_h)
@@ -325,7 +337,8 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
             in2((e, 1)),          # dst
             in2((e, 1)),          # emask
             in2((n, 1)),          # nmask
-            in2((e, hc)),         # eproj
+            in2((e, c)),          # e_attr
+            bcast((c, hc)),                     # we (lin_edge)
             bcast((c, hc)), bcast((1, hc)),     # wl, bl
             bcast((c, hc)), bcast((1, hc)),     # wr, br
             bcast((hc, nheads)),                # attb
@@ -347,7 +360,8 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
         h, xf, instr, gate,
         src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
         edge_mask[..., None].astype(f32), node_mask[..., None].astype(f32),
-        eproj,
+        e_attr,
+        we,
         params["wl"], params["bl"][None, :],
         params["wr"], params["br"][None, :],
         params["attb"], params["expand"], params["cbias"][None, :],

@@ -32,10 +32,14 @@ def make_inputs(rng, b=2, n=16, e=40, c=12, heads=4):
         src[g, :ne] = rng.integers(0, nn_, ne)
         dst[g, :ne] = rng.integers(0, nn_, ne)
         gate[g, :, 0] = (rng.random(n) > 0.4).astype(np.float32)
-    # pre-round to bf16: the fused kernel ships the edge block as bf16
-    # (its upstream compute dtype), so give both paths identical values
-    eproj = np.asarray(
-        jnp.asarray(rng.normal(size=(b, e, hc)), jnp.bfloat16)
+    # the fused kernel projects raw edge features in-kernel through a
+    # bf16 lin_edge weight; feed the XLA reference the same bf16-rounded
+    # projection so both paths see identical eproj values
+    e_attr = np.asarray(
+        jnp.asarray(rng.normal(size=(b, e, c)), jnp.bfloat16)
+    ).astype(np.float32)
+    we = np.asarray(
+        jnp.asarray(rng.normal(size=(c, hc)) * 0.2, jnp.bfloat16)
     ).astype(np.float32)
     params = pack_gat_params(
         heads, c,
@@ -53,21 +57,26 @@ def make_inputs(rng, b=2, n=16, e=40, c=12, heads=4):
         gn_b=rng.normal(size=(c,)).astype(np.float32) * 0.1,
         gn_a=np.ones((c,), np.float32),
     )
-    args = dict(
+    common = dict(
         h=jnp.array(h), xf=jnp.array(xf), instr=jnp.array(instr),
         gate=jnp.array(gate), src=jnp.array(src), dst=jnp.array(dst),
         edge_mask=jnp.array(edge_mask), node_mask=jnp.array(node_mask),
-        eproj=jnp.array(eproj), params=params,
     )
-    return args
+    fused_args = dict(common, e_attr=jnp.array(e_attr),
+                      params={**params, "we": jnp.array(we)})
+    eproj = np.asarray(
+        jnp.asarray(e_attr, jnp.bfloat16) @ jnp.asarray(we, jnp.bfloat16)
+    ).astype(np.float32)
+    ref_args = dict(common, eproj=jnp.array(eproj), params=params)
+    return fused_args, ref_args
 
 
 @pytest.mark.parametrize("apply_mask", [False, True])
 def test_kernel_matches_reference(rng, apply_mask):
-    args = make_inputs(rng)
-    out_k, alpha_k = fused_gat_layer(**args, apply_mask_to_h=apply_mask,
+    fa, ra = make_inputs(rng)
+    out_k, alpha_k = fused_gat_layer(**fa, apply_mask_to_h=apply_mask,
                                      interpret=True)
-    out_r, alpha_r = gat_layer_reference(**args, apply_mask_to_h=apply_mask)
+    out_r, alpha_r = gat_layer_reference(**ra, apply_mask_to_h=apply_mask)
     np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
@@ -80,9 +89,9 @@ def test_graph_packing_is_exact(rng, pack):
     [N, G] graph one-hot for SDP/GraphNorm) must be bit-compatible
     with the unpacked kernel, including when B % pack != 0 (padded
     all-masked graphs)."""
-    args = make_inputs(rng, b=5, n=16, e=40)
-    out_1, alpha_1 = fused_gat_layer(**args, interpret=True, pack=1)
-    out_p, alpha_p = fused_gat_layer(**args, interpret=True, pack=pack)
+    fa, _ = make_inputs(rng, b=5, n=16, e=40)
+    out_1, alpha_1 = fused_gat_layer(**fa, interpret=True, pack=1)
+    out_p, alpha_p = fused_gat_layer(**fa, interpret=True, pack=pack)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_1),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_1),
@@ -91,9 +100,9 @@ def test_graph_packing_is_exact(rng, pack):
 
 def test_explicit_pack_matches_reference(rng):
     """A packed kernel run must still match the XLA reference."""
-    args = make_inputs(rng, b=6, n=16, e=40)
-    out_k, alpha_k = fused_gat_layer(**args, interpret=True, pack=3)
-    out_r, alpha_r = gat_layer_reference(**args)
+    fa, ra = make_inputs(rng, b=6, n=16, e=40)
+    out_k, alpha_k = fused_gat_layer(**fa, interpret=True, pack=3)
+    out_r, alpha_r = gat_layer_reference(**ra)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
@@ -101,7 +110,7 @@ def test_explicit_pack_matches_reference(rng):
 
 
 def test_alpha_normalized_per_destination(rng):
-    args = make_inputs(rng, b=1)
+    args, _ = make_inputs(rng, b=1)
     _, alpha = fused_gat_layer(**args, interpret=True)
     alpha = np.asarray(alpha)[0]
     dst = np.asarray(args["dst"])[0]
@@ -118,7 +127,7 @@ def test_alpha_normalized_per_destination(rng):
 
 
 def test_masked_rows_are_zeroed(rng):
-    args = make_inputs(rng)
+    args, _ = make_inputs(rng)
     out, alpha = fused_gat_layer(**args, interpret=True)
     nm = np.asarray(args["node_mask"])
     em = np.asarray(args["edge_mask"])
