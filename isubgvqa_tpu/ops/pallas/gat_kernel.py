@@ -80,7 +80,7 @@ def _kernel(
     xf = xf_ref[:]                                   # [N, C]
     emask = emask_ref[:]                             # [E, 1]
     nmask = nmask_ref[:]                             # [N, 1]
-    gate = gate_ref[:]                               # [N, 1]
+    gate = gate_ref[:].astype(f32)                   # [N, 1]
 
     # node projections (MXU, bf16 operands, f32 accumulation)
     xfb = xf.astype(wl_ref.dtype)
@@ -292,12 +292,15 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     g = n_graphs
 
     # Mosaic (this toolchain) rejects some bf16 lane broadcasts, so all
-    # elementwise work is f32.  The [E, C] edge block and the lin_edge
-    # weight ship as bf16 (Dense-parity: the projection rounds through
-    # bf16 like the model's Dense(dtype=bf16)); remaining weights stay
-    # f32 for accuracy, fitting the 16 MB VMEM budget at N=128/E=384.
+    # elementwise work runs f32 *inside* the kernel — but the big
+    # per-graph blocks (h/xf/out and the edge features) travel
+    # HBM<->VMEM at the model's native dtype (bf16 halves the DMA) and
+    # upcast on load.  The lin_edge weight ships bf16 (Dense parity);
+    # remaining weights stay f32 for accuracy, fitting the 16 MB VMEM
+    # budget at N=128/E=384.
     f32 = jnp.float32
-    h, xf, instr, gate = (t.astype(f32) for t in (h, xf, instr, gate))
+    ship = jnp.bfloat16 if dtype == jnp.bfloat16 else f32
+    h, xf, instr, gate = (t.astype(ship) for t in (h, xf, instr, gate))
     e_attr = e_attr.astype(jnp.bfloat16)
     we = params["we"].astype(jnp.bfloat16)
     params = {k: v.astype(f32) for k, v in params.items() if k != "we"}
@@ -321,7 +324,7 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
                             memory_space=pltpu.VMEM)
 
     out_shape = (
-        jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, c), ship),
         jax.ShapeDtypeStruct((b, e, nheads), jnp.float32),
     )
 

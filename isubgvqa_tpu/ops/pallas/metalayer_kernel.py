@@ -114,6 +114,9 @@ def fused_metalayer(x, e_attr, src, dst, edge_mask, node_mask, params,
     e = src.shape[1]
     dtype = x.dtype
     f32 = jnp.float32
+    # big blocks travel HBM<->VMEM at the model's native dtype (bf16
+    # halves the DMA); the kernel upcasts on load
+    ship = jnp.bfloat16 if dtype == jnp.bfloat16 else f32
 
     def in2(shape):
         return pl.BlockSpec((None,) + shape, lambda i: (i,) + (0,) * len(shape),
@@ -144,12 +147,12 @@ def fused_metalayer(x, e_attr, src, dst, edge_mask, node_mask, params,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c), f32),
-            jax.ShapeDtypeStruct((b, e, c), f32),
+            jax.ShapeDtypeStruct((b, n, c), ship),
+            jax.ShapeDtypeStruct((b, e, c), ship),
         ),
         interpret=interpret,
     )(
-        x.astype(f32), e_attr.astype(f32),
+        x.astype(ship), e_attr.astype(ship),
         src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
         edge_mask[..., None].astype(f32), node_mask[..., None].astype(f32),
         params["ew1"].astype(f32), params["eb1"][None].astype(f32),
