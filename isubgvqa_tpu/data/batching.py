@@ -289,29 +289,49 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     ready batches in a queue — the host collates the next batch while
     the device executes the current step (the reference gets this from
     torch DataLoader workers + pin_memory, ``datasets/build.py:70-90``).
-    Exceptions in the producer re-raise at the consuming site.  If the
-    consumer stops early, the daemon producer parks on the bounded
-    queue and is reclaimed at process exit."""
+    Exceptions in the producer re-raise at the consuming site.  When
+    the consumer stops early (``break``, exception, generator close),
+    the producer is signalled and exits instead of parking on the
+    queue with buffered batches for the life of the process."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
+
+    def guarded_put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_END)
+                if not guarded_put(item):
+                    return
+            guarded_put(_END)
         except BaseException as exc:        # noqa: BLE001 — re-raised
-            q.put(exc)
+            guarded_put(exc)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:                               # unblock a parked producer
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

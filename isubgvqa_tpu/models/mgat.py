@@ -37,8 +37,11 @@ Execution paths (identical math, same parameters):
   as the fallback/verification path.
 
 TPU-specific restructuring (no semantic change): the four layers'
-edge projections ``lin_edge_i(e)`` contract the same edge features,
-so they run as one fused matmul up front.
+``lin_edge_i`` weights live stacked under one param
+(``lin_edge_all/kernel``); the fused kernel projects the shared
+encoded edges against its layer's slice *in VMEM* (the ``[B, E,
+4·H·C]`` projection never exists in HBM), and the XLA training path
+projects per layer with the same weights.
 """
 
 from __future__ import annotations

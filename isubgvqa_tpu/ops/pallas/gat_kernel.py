@@ -18,9 +18,11 @@ move is an MXU matmul against an in-register one-hot incidence:
     scatter = onehot_dstᵀ [N, E] @ (x_src · α) [E, H·C]
     softmax per destination: max/sum through the same incidences.
 
-VMEM budget per program at (N=64, E=192, C=300, H=4):
-x/h 2×40 KB, e_proj 470 KB, messages ~3×470 KB, one-hots 2×25 KB,
-weights (lin_l/lin_r 740 KB ×2, proj 900 KB) — ≈ 4.5 MB < 16 MB.
+VMEM budget per program at (N=64, E=192, C=300, H=4, bf16 ship):
+x/h 2×40 KB in, edges [E, C] 115 KB in, messages (f32 [E, H·C]
+intermediates incl. the in-kernel eproj) ~4×920 KB, one-hots 2×25 KB,
+weights (lin_l/lin_r 1.4 MB ×2 f32, x_proj 3.6 MB f32, we 720 KB) —
+≈ 11 MB < 16 MB; the proven ceiling is (N=128, E=384).
 """
 
 from __future__ import annotations
@@ -100,8 +102,9 @@ def _kernel(
 
     # lin_edge IN-KERNEL: computing the [E, HC] edge projection here
     # instead of materializing it for all 4 layers saves >1 GB of HBM
-    # round-trips per bench batch.  The f32 accumulation is rounded to
-    # bf16 to match the model's Dense(dtype=bf16) exactly (the
+    # round-trips per bench batch.  Rounding through the shipped dtype
+    # matches the model's Dense exactly: bf16 models round like
+    # Dense(dtype=bf16); f32 models keep full precision (the
     # differentiable XLA path computes the same projection upstream).
     eproj = jnp.dot(e_ref[:], we_ref[:],
                     preferred_element_type=f32)
@@ -301,8 +304,8 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     f32 = jnp.float32
     ship = jnp.bfloat16 if dtype == jnp.bfloat16 else f32
     h, xf, instr, gate = (t.astype(ship) for t in (h, xf, instr, gate))
-    e_attr = e_attr.astype(jnp.bfloat16)
-    we = params["we"].astype(jnp.bfloat16)
+    e_attr = e_attr.astype(ship)
+    we = params["we"].astype(ship)
     params = {k: v.astype(f32) for k, v in params.items() if k != "we"}
 
     kernel = functools.partial(_kernel, negative_slope=negative_slope,

@@ -145,9 +145,19 @@ def test_prefetch_preserves_order_and_raises():
     with _pytest.raises(ValueError, match="producer failed"):
         next(it)
 
-    # early consumer stop must not deadlock
+    # early consumer stop must not deadlock, and closing the generator
+    # must release the producer thread (no parked daemon per call)
+    import threading
+    import time
+
+    before = threading.active_count()
     it = prefetch(iter(range(1000)), depth=2)
     assert next(it) == 0
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before
 
 
 def test_question_len_bucket_routing():

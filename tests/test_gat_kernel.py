@@ -32,15 +32,11 @@ def make_inputs(rng, b=2, n=16, e=40, c=12, heads=4):
         src[g, :ne] = rng.integers(0, nn_, ne)
         dst[g, :ne] = rng.integers(0, nn_, ne)
         gate[g, :, 0] = (rng.random(n) > 0.4).astype(np.float32)
-    # the fused kernel projects raw edge features in-kernel through a
-    # bf16 lin_edge weight; feed the XLA reference the same bf16-rounded
-    # projection so both paths see identical eproj values
-    e_attr = np.asarray(
-        jnp.asarray(rng.normal(size=(b, e, c)), jnp.bfloat16)
-    ).astype(np.float32)
-    we = np.asarray(
-        jnp.asarray(rng.normal(size=(c, hc)) * 0.2, jnp.bfloat16)
-    ).astype(np.float32)
+    # the fused kernel projects raw edge features in-kernel through
+    # the lin_edge weight at the shipped dtype (f32 here), matching
+    # the model's Dense; the reference gets the same projection
+    e_attr = rng.normal(size=(b, e, c)).astype(np.float32)
+    we = (rng.normal(size=(c, hc)) * 0.2).astype(np.float32)
     params = pack_gat_params(
         heads, c,
         wl=rng.normal(size=(c, hc)).astype(np.float32) * 0.2,
@@ -64,9 +60,7 @@ def make_inputs(rng, b=2, n=16, e=40, c=12, heads=4):
     )
     fused_args = dict(common, e_attr=jnp.array(e_attr),
                       params={**params, "we": jnp.array(we)})
-    eproj = np.asarray(
-        jnp.asarray(e_attr, jnp.bfloat16) @ jnp.asarray(we, jnp.bfloat16)
-    ).astype(np.float32)
+    eproj = (e_attr @ we).astype(np.float32)
     ref_args = dict(common, eproj=jnp.array(eproj), params=params)
     return fused_args, ref_args
 
@@ -107,6 +101,42 @@ def test_explicit_pack_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_ship_path_matches_reference(rng):
+    """bf16 inputs exercise the bf16 HBM<->VMEM shipping branch
+    (ship=bf16, bf16 refs + bf16 out block) in interpret mode; the
+    reference runs on the same bf16-rounded values with bf16-level
+    tolerance."""
+    fa, ra = make_inputs(rng)
+    bf = jnp.bfloat16
+
+    def to_bf(d):
+        out = {}
+        for k, v in d.items():
+            if k == "params":
+                out[k] = v
+            elif v.dtype == jnp.float32:
+                out[k] = v.astype(bf)
+            else:
+                out[k] = v
+        return out
+
+    fa_b = to_bf(fa)
+    out_k, alpha_k = fused_gat_layer(**fa_b, interpret=True)
+    assert out_k.dtype == bf                      # shipped dtype out
+    # reference on the identical bf16-rounded values, f32 compute
+    ra_b = {k: (v.astype(jnp.float32) if hasattr(v, "dtype")
+                and v.dtype == bf else v)
+            for k, v in to_bf(ra).items()}
+    ra_b["eproj"] = (fa_b["e_attr"].astype(jnp.float32)
+                     @ fa_b["params"]["we"].astype(bf).astype(jnp.float32))
+    out_r, alpha_r = gat_layer_reference(**ra_b)
+    np.testing.assert_allclose(np.asarray(out_k, dtype=np.float32),
+                               np.asarray(out_r, dtype=np.float32),
+                               rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_alpha_normalized_per_destination(rng):

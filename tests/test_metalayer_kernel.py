@@ -54,6 +54,25 @@ def test_metalayer_kernel_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_metalayer_bf16_ship_path(rng):
+    """bf16 inputs exercise the bf16 HBM<->VMEM shipping branch in
+    interpret mode (bf16 refs + bf16 out blocks)."""
+    x, eattr, src, dst, em, nm, params = make_inputs(rng)
+    bf = jnp.bfloat16
+    xk, ek = fused_metalayer(x.astype(bf), eattr.astype(bf), src, dst,
+                             em, nm, params, interpret=True)
+    assert xk.dtype == bf and ek.dtype == bf
+    xr, er = metalayer_reference(x.astype(bf).astype(jnp.float32),
+                                 eattr.astype(bf).astype(jnp.float32),
+                                 src, dst, em, nm, params)
+    np.testing.assert_allclose(np.asarray(xk, dtype=np.float32),
+                               np.asarray(xr, dtype=np.float32),
+                               rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ek, dtype=np.float32),
+                               np.asarray(er, dtype=np.float32),
+                               rtol=2e-2, atol=5e-2)
+
+
 def test_metalayer_mean_aggregation_semantics(rng):
     """Mean over incoming edges equals the reference scatter_mean
     (scene_graph_encoder.py:141) computed by hand."""
