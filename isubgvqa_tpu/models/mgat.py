@@ -143,8 +143,22 @@ class MGATLayer(nn.Module):
         aimle_state: Optional[AIMLEState] = None,
     ):
         """-> (out [B,N,C] incl. residual/sdp/norm, mask | None, alpha)."""
+        # fused kernel only when actually lowering for TPU (init may
+        # trace under a CPU default_device context)
+        dd = jax.config.jax_default_device
+        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
+        run_fused = (self.use_pallas and not train
+                     and jax.default_backend() == "tpu" and not pinned_cpu)
+        # on unmasked fused layers the instruction gating runs inside
+        # the kernel — gelu(h*instr) never materializes in HBM; the
+        # mask head consumes xf, so masked layers compute it here
+        fuse_instr = (run_fused and self.use_instr and not self.concat_instr
+                      and self.masking_threshold == 1.0)
+
         # 1. instruction fusion (mgat_v2_conv.py:152-157)
-        if self.use_instr:
+        if fuse_instr:
+            xf = h_in                 # placeholder; kernel computes xf
+        elif self.use_instr:
             if self.concat_instr:
                 ins_b = jnp.broadcast_to(
                     instruction[:, None, :],
@@ -174,12 +188,6 @@ class MGATLayer(nn.Module):
         params = self._params()
         apply_mask = self.interpretable_mode and mask is not None
 
-        # fused kernel only when actually lowering for TPU (init may
-        # trace under a CPU default_device context)
-        dd = jax.config.jax_default_device
-        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        run_fused = (self.use_pallas and not train
-                     and jax.default_backend() == "tpu" and not pinned_cpu)
         if run_fused:
             # lin_edge runs inside the kernel — the [B, E, H*C]
             # projection never materializes in HBM
@@ -190,6 +198,7 @@ class MGATLayer(nn.Module):
                 e_attr=edge_attr, params={**params, "we": w_edge},
                 negative_slope=self.negative_slope,
                 apply_mask_to_h=apply_mask,
+                fuse_instr=fuse_instr,
             )
         else:
             dt = self.dtype or edge_attr.dtype

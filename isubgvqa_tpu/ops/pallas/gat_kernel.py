@@ -71,6 +71,7 @@ def _kernel(
     *,
     negative_slope: float,
     apply_mask_to_h: bool,
+    fuse_instr: bool,
     eps: float = 1e-5,
 ):
     n = h_ref.shape[0]
@@ -79,10 +80,27 @@ def _kernel(
     nheads = attb_ref.shape[1]
     f32 = jnp.float32
 
-    xf = xf_ref[:]                                   # [N, C]
     emask = emask_ref[:]                             # [E, 1]
     nmask = nmask_ref[:]                             # [N, 1]
     gate = gate_ref[:].astype(f32)                   # [N, 1]
+
+    # graph-segment one-hot: node row -> its packed graph
+    g_count = instr_ref.shape[0]
+    npg = n // g_count
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (n, g_count), 0) // npg
+    g_col = jax.lax.broadcasted_iota(jnp.int32, (n, g_count), 1)
+    oh_g = (g_iota == g_col).astype(f32)                     # [N, G]
+    ins_node = jnp.dot(oh_g, instr_ref[:].astype(f32),
+                       preferred_element_type=f32)           # [N, C]
+
+    if fuse_instr:
+        # instruction gating in VMEM (mgat_v2_conv.py:152-157): the
+        # gelu(h * instr) tensor never round-trips through HBM.  Only
+        # used for unmasked layers — the mask head consumes xf on the
+        # host-side graph, so masked layers still pass it in.
+        xf = gelu_exact(h_ref[:].astype(f32) * ins_node)
+    else:
+        xf = xf_ref[:]                               # [N, C]
 
     # node projections (MXU, bf16 operands, f32 accumulation)
     xfb = xf.astype(wl_ref.dtype)
@@ -162,16 +180,7 @@ def _kernel(
                 preferred_element_type=f32) + b2_ref[:].astype(f32)
     p = gelu_exact(p)                                       # [N, C]
 
-    # graph-segment one-hot: node row -> its packed graph
-    g_count = instr_ref.shape[0]
-    npg = n // g_count
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (n, g_count), 0) // npg
-    g_col = jax.lax.broadcasted_iota(jnp.int32, (n, g_count), 1)
-    oh_g = (g_iota == g_col).astype(f32)                     # [N, G]
-
     # instruction-conditioned SDP reweighting over each graph's nodes
-    ins_node = jnp.dot(oh_g, instr_ref[:].astype(f32),
-                       preferred_element_type=f32)           # [N, C]
     sdp_logits = jnp.sum(p * ins_node, axis=1, keepdims=True)  # [N, 1]
     sdp_logits = sdp_logits / math.sqrt(p.shape[-1])
     sdp_logits = jnp.where(nmask > 0, sdp_logits, _NEG)
@@ -220,6 +229,7 @@ def fused_gat_layer(
     apply_mask_to_h: bool = False,
     interpret: bool = False,
     pack: int | None = None,
+    fuse_instr: bool = False,
 ):
     """Run the fused layer; returns ``(out [B,N,C], alpha [B,E,H])``.
 
@@ -228,6 +238,11 @@ def fused_gat_layer(
     ``[C, HC]``.  The edge projection is computed *inside* the kernel
     from ``e_attr`` (bf16, Dense parity), so the ``[B, E, H·C]``
     intermediate never exists in HBM.
+
+    ``fuse_instr``: compute the instruction gating ``gelu(h · instr)``
+    inside the kernel instead of reading a precomputed ``xf`` block
+    (``xf`` is then ignored; pass ``h``).  Used for unmasked layers —
+    the sampler head needs ``xf`` host-side on masked layers.
 
     ``pack``: number of graphs fused into one grid program.  Packing
     multiplies the MXU contraction dim (K = packed node count) and
@@ -272,19 +287,20 @@ def fused_gat_layer(
             src_p, dst_p, edge_mask.reshape(bp, pack * e),
             node_mask.reshape(bp, pack * n),
             e_attr.reshape(bp, pack * e, c), params, negative_slope,
-            apply_mask_to_h, interpret, n_graphs=pack)
+            apply_mask_to_h, interpret, n_graphs=pack,
+            fuse_instr=fuse_instr)
         out = out.reshape(bp * pack, n, c)[:b]
         alpha = alpha.reshape(bp * pack, e, nheads)[:b]
         return out.astype(dtype), alpha
     return _fused_gat_call(h, xf, instr[:, None, :], gate, src, dst,
                            edge_mask, node_mask, e_attr, params,
                            negative_slope, apply_mask_to_h, interpret,
-                           n_graphs=1)
+                           n_graphs=1, fuse_instr=fuse_instr)
 
 
 def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
                     e_attr, params, negative_slope, apply_mask_to_h,
-                    interpret, n_graphs: int):
+                    interpret, n_graphs: int, fuse_instr: bool = False):
     """pallas_call plumbing; ``instr`` arrives ``[B, G, C]``."""
     b, n, c = h.shape
     e = src.shape[1]
@@ -303,13 +319,18 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     # budget at N=128/E=384.
     f32 = jnp.float32
     ship = jnp.bfloat16 if dtype == jnp.bfloat16 else f32
+    if fuse_instr:
+        # xf is computed in-kernel; ship a zero-width placeholder so
+        # the pipeline never DMAs a real block for it
+        xf = jnp.zeros((b, 1, c), dtype)
     h, xf, instr, gate = (t.astype(ship) for t in (h, xf, instr, gate))
     e_attr = e_attr.astype(ship)
     we = params["we"].astype(ship)
     params = {k: v.astype(f32) for k, v in params.items() if k != "we"}
 
     kernel = functools.partial(_kernel, negative_slope=negative_slope,
-                               apply_mask_to_h=apply_mask_to_h)
+                               apply_mask_to_h=apply_mask_to_h,
+                               fuse_instr=fuse_instr)
 
     # per-graph inputs carry a leading block dim of 1; reshape inside
     # is implicit because BlockSpec slices to [1, ...] — Pallas refs
@@ -336,7 +357,7 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
         grid=grid,
         in_specs=[
             in2((n, c)),          # h
-            in2((n, c)),          # xf
+            in2((1, c) if fuse_instr else (n, c)),   # xf (or placeholder)
             in2((g, c)),          # instr (one row per packed graph)
             in2((n, 1)),          # gate
             in2((e, 1)),          # src

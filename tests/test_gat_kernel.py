@@ -103,6 +103,24 @@ def test_explicit_pack_matches_reference(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fuse_instr_in_kernel_matches_reference(rng):
+    """fuse_instr computes gelu(h * instr) in VMEM; must equal the
+    reference fed the externally computed xf (mgat_v2_conv.py:152-157),
+    including under graph packing."""
+    fa, ra = make_inputs(rng)
+    xf = jax.nn.gelu(fa["h"] * fa["instr"][:, None, :], approximate=False)
+    ra = dict(ra, xf=xf)
+    out_r, alpha_r = gat_layer_reference(**ra)
+    for pack in (1, 3):
+        fa_f = dict(fa, xf=fa["h"])        # placeholder, kernel ignores
+        out_k, alpha_k = fused_gat_layer(**fa_f, interpret=True,
+                                         fuse_instr=True, pack=pack)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_bf16_ship_path_matches_reference(rng):
     """bf16 inputs exercise the bf16 HBM<->VMEM shipping branch
     (ship=bf16, bf16 refs + bf16 out block) in interpret mode; the
