@@ -96,3 +96,34 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_validation_recombines_to_full():
+    """Per-process sharded validation (DistributedSampler parity):
+    two shards' metrics, count-weighted, equal the unsharded run on
+    deterministic eval (thresholds 1.0, buckets off so both paths use
+    identical static shapes)."""
+    from isubgvqa_tpu.data.build import build_datasets
+    from isubgvqa_tpu.train.loop import Trainer
+
+    cfg = dataclasses.replace(
+        small_cfg(), batch_size=8, epochs=1, synthetic=True,
+        synthetic_size=64, meta_dir="", mgat_masks=(1.0,) * 4,
+        sampler_type=None, sample_k=None, eval_batch_factor=1,
+        bucket_node_caps=(), bucket_question_lens=())
+    data = build_datasets(cfg)
+    model = build_model(cfg, data.vocab)
+    trainer = Trainer(cfg, model, data)
+
+    def run(shard_index, num_shards):
+        trainer.shard_index = shard_index
+        trainer.num_shards = num_shards
+        trainer.rng = jax.random.PRNGKey(0)
+        return trainer.validate_epoch(0)
+
+    acc_full, loss_full = run(0, 1)
+    acc0, loss0 = run(0, 2)
+    acc1, loss1 = run(1, 2)
+    # dev split is 16 samples -> 8 per shard, equal counts
+    np.testing.assert_allclose((acc0 + acc1) / 2, acc_full, atol=1e-4)
+    np.testing.assert_allclose((loss0 + loss1) / 2, loss_full, rtol=1e-5)
