@@ -225,7 +225,11 @@ class MaskedBatchNorm(nn.Module):
             mean = s1 / count
             var = jnp.maximum(s2 / count - mean * mean, 0.0)
             if not self.is_initializing():
+                # torch BatchNorm1d stores the Bessel-corrected
+                # (unbiased) variance in running_var while normalizing
+                # the batch with the biased one
+                var_unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var_unbiased
         out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return out.reshape(x.shape).astype(x.dtype)
