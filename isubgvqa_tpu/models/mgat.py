@@ -27,14 +27,19 @@ Per layer (``mgat.py:137-177``):
 
 Execution paths (identical math, same parameters):
 
-* **fused** — one Pallas kernel per layer
+* **fused inference** — one Pallas kernel per layer
   (:func:`isubgvqa_tpu.ops.pallas.fused_gat_layer`); everything above
   stays in VMEM.  Used at inference when ``use_pallas``.
+* **fused training** — the edge-space conv as a custom-VJP Pallas
+  forward/backward pair plus the XLA node-space head
+  (:func:`~isubgvqa_tpu.ops.pallas.gat_train.fused_gat_layer_train`);
+  no ``[B, E, H·C]`` tensor touches HBM in either direction.  Used
+  when ``use_pallas and train`` on TPU.
 * **reference** — the op-by-op XLA formulation
   (:func:`~isubgvqa_tpu.ops.pallas.gat_kernel.gat_layer_reference`),
   fully differentiable (every edge<->node move is an einsum, so the
-  backward pass is scatter-free matmuls too).  Used for training and
-  as the fallback/verification path.
+  backward pass is scatter-free matmuls too).  The fallback and the
+  verification path both kernels are gradient-tested against.
 
 TPU-specific restructuring (no semantic change): the four layers'
 ``lin_edge_i`` weights live stacked under one param
@@ -53,7 +58,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.batching import GraphBatch
+from ..ops.pallas import gat_train
 from ..ops.pallas.gat_kernel import fused_gat_layer, gat_layer_reference
+from ..ops.pallas.gat_train import fused_gat_layer_train
 from ..sampling.aimle import AIMLEState
 from .masking import MaskingModel
 
@@ -147,8 +154,13 @@ class MGATLayer(nn.Module):
         # trace under a CPU default_device context)
         dd = jax.config.jax_default_device
         pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        run_fused = (self.use_pallas and not train
-                     and jax.default_backend() == "tpu" and not pinned_cpu)
+        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        run_fused = self.use_pallas and not train and on_tpu
+        # training runs the differentiable fused path: Pallas conv with
+        # a custom-VJP Pallas backward + the XLA head (ops/pallas/
+        # gat_train.py); gradient-exact vs the reference path
+        run_fused_train = (self.use_pallas and train
+                           and (on_tpu or gat_train.FORCE_INTERPRET))
         # on unmasked fused layers the instruction gating runs inside
         # the kernel — gelu(h*instr) never materializes in HBM; the
         # mask head consumes xf, so masked layers compute it here
@@ -199,6 +211,16 @@ class MGATLayer(nn.Module):
                 negative_slope=self.negative_slope,
                 apply_mask_to_h=apply_mask,
                 fuse_instr=fuse_instr,
+            )
+        elif run_fused_train:
+            out, alpha = fused_gat_layer_train(
+                h_in, xf, instruction, gate,
+                batch.edge_src, batch.edge_dst,
+                batch.edge_mask, batch.node_mask,
+                edge_attr, {**params, "we": w_edge},
+                negative_slope=self.negative_slope,
+                apply_mask_to_h=apply_mask,
+                interpret=gat_train.FORCE_INTERPRET,
             )
         else:
             dt = self.dtype or edge_attr.dtype

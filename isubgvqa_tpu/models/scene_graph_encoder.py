@@ -21,6 +21,7 @@ Equivalent of ``SceneGraphEncoder``
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -29,7 +30,9 @@ import numpy as np
 from flax import linen as nn
 
 from ..data.batching import GraphBatch
+from ..ops.pallas import gat_train
 from ..ops.pallas.metalayer_kernel import fused_metalayer, metalayer_reference
+from ..ops.pallas.metalayer_train import fused_metalayer_train
 from .layers import MaskedBatchNorm
 
 _lecun = nn.initializers.lecun_normal()
@@ -107,13 +110,22 @@ class SceneGraphEncoder(nn.Module):
         # ---- edge features; negate added symmetric edges (:76-80)
         e = embed(batch.edge_token) * batch.edge_sign[..., None].astype(x.dtype)
 
-        # ---- MetaLayer round + GraphNorm (:99-146), fused on TPU
+        # ---- MetaLayer round + GraphNorm (:99-146), fused on TPU:
+        # inference uses the forward-only kernel; training the
+        # custom-VJP pair (ops/pallas/metalayer_train.py) whose Pallas
+        # backward keeps the per-edge MLP activations out of HBM
         params = self._meta_params()
         dd = jax.config.jax_default_device
         pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        run_fused = (self.use_pallas and deterministic
-                     and jax.default_backend() == "tpu" and not pinned_cpu)
-        fn = fused_metalayer if run_fused else metalayer_reference
+        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        if self.use_pallas and deterministic and on_tpu:
+            fn = fused_metalayer
+        elif self.use_pallas and not deterministic \
+                and (on_tpu or gat_train.FORCE_INTERPRET):
+            fn = functools.partial(fused_metalayer_train,
+                                   interpret=gat_train.FORCE_INTERPRET)
+        else:
+            fn = metalayer_reference
         x_out, e_out = fn(x, e, batch.edge_src, batch.edge_dst,
                           batch.edge_mask, batch.node_mask, params)
         return x_out, e_out

@@ -1,10 +1,13 @@
 """Pallas TPU kernels for the hot fused paths."""
 
 from .gat_kernel import fused_gat_layer, gat_layer_reference
+from .gat_train import fused_gat_layer_train, fused_gatconv
 from .metalayer_kernel import fused_metalayer, metalayer_reference
 
 __all__ = [
     "fused_gat_layer",
+    "fused_gat_layer_train",
+    "fused_gatconv",
     "gat_layer_reference",
     "fused_metalayer",
     "metalayer_reference",

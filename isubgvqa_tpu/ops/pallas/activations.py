@@ -30,3 +30,12 @@ def _erf_poly(x):
 def gelu_exact(x):
     """Exact-GELU (torch ``nn.GELU()`` parity) via polynomial erf."""
     return 0.5 * x * (1.0 + _erf_poly(x * (1.0 / math.sqrt(2.0))))
+
+
+def gelu_grad_exact(x):
+    """d/dx of exact GELU: ``Phi(x) + x * phi(x)`` with the same
+    polynomial erf — used by the hand-written Pallas backward kernels
+    (:mod:`.metalayer_train`)."""
+    phi = jnp.exp(-0.5 * x * x) * (1.0 / math.sqrt(2.0 * math.pi))
+    cdf = 0.5 * (1.0 + _erf_poly(x * (1.0 / math.sqrt(2.0))))
+    return cdf + x * phi

@@ -400,6 +400,61 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     return out.astype(dtype), alpha
 
 
+def fused_gat_layer_flops(n: int, e: int, c: int = 300, heads: int = 4,
+                          g: int = 1, fuse_instr: bool = False) -> float:
+    """Analytic FLOP count of one fused-GAT-layer kernel program
+    (matmul-exact: 2·m·k·n per ``jnp.dot``, plus the elementwise VPU
+    work at 1 FLOP/op).  XLA's ``cost_analysis`` cannot see inside
+    Pallas kernels, so the benchmark adds this per layer to make the
+    reported MFU exact instead of a lower bound (``bench.py``).
+    Mirrors :func:`_kernel` op by op."""
+    hc = heads * c
+    p_dim = hc // 2
+    fl = 0.0
+    fl += 2 * n * g * c                      # ins_node = oh_g @ instr
+    if fuse_instr:
+        fl += 12 * n * c                     # gelu(h * instr) (erf ~10)
+    fl += 2 * (2 * n * c * hc + n * hc)      # x_l, x_r (+bias)
+    fl += 2 * e * n                          # one-hot compares (×2 maps)
+    fl += 2 * (2 * e * n * hc)               # xs, xd gathers
+    fl += 2 * e * c * hc                     # eproj (lin_edge)
+    fl += 2 * e * hc                         # m = xs + xd + eproj
+    fl += 2 * (2 * e * n)                    # edge-gate gathers
+    fl += 4 * e * hc                         # gate mul ×2, leaky relu ×2
+    fl += 2 * e * hc * heads                 # attention logits
+    fl += e * n * heads                      # per-head max reduce
+    fl += 2 * e * n * heads                  # max_e broadcast
+    fl += 3 * e * heads                      # exp + sub + mask
+    fl += 2 * (2 * e * n * heads)            # denom_n, denom_e
+    fl += 2 * e * heads                      # div + alpha·egate
+    fl += 2 * e * heads * hc                 # w_bcast head expand
+    fl += e * hc                             # weighted = xs * w_bcast
+    fl += 2 * e * n * hc                     # conv scatter
+    fl += 2 * n * hc * p_dim + 12 * n * p_dim   # x_proj 1 + gelu
+    fl += 2 * n * p_dim * c + 12 * n * c        # x_proj 2 + gelu
+    fl += 2 * n * c + 4 * n                  # sdp logits + softmax
+    fl += 6 * n * g * c                      # GraphNorm segment reduces
+    fl += 8 * n * c                          # norm elementwise + residual
+    return fl
+
+
+def metalayer_kernel_flops(n: int, e: int, c: int = 300) -> float:
+    """Analytic FLOPs of one fused-MetaLayer kernel program
+    (:mod:`.metalayer_kernel`), matmul-exact."""
+    fl = 0.0
+    fl += 2 * e * n                          # one-hot compares
+    fl += 2 * (2 * e * n * c)                # xs, xd gathers
+    fl += 3 * (2 * e * c * c) + 12 * e * c   # edge MLP in + gelu
+    fl += 2 * e * c * c                      # edge MLP out
+    fl += 2 * (2 * e * c * c) + 12 * e * c   # node mlp1 in + gelu
+    fl += 2 * e * c * c                      # node mlp1 out
+    fl += 2 * e * n * c + 2 * e * n          # agg scatter + degree
+    fl += 2 * (2 * n * c * c) + 12 * n * c   # node mlp2 in + gelu
+    fl += 2 * n * c * c                      # node mlp2 out
+    fl += 10 * n * c                         # GraphNorm
+    return fl
+
+
 def pack_gat_params(heads: int, out_channels: int, wl, bl, wr, br, att,
                     cbias, w1, b1, w2, b2, gn_w, gn_b, gn_a):
     """Prepack weights: block-diagonal att vector and head-broadcast
@@ -419,20 +474,17 @@ def pack_gat_params(heads: int, out_channels: int, wl, bl, wr, br, att,
     }
 
 
-def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
-                        eproj, params, negative_slope=0.2,
-                        apply_mask_to_h=False, egate=None):
-    """Pure-XLA reference of the fused kernel (same math, op-by-op) —
-    the differentiable training path and the fallback/verification
-    path.
+def gat_conv_reference(xf, gate, src, dst, edge_mask, eproj, params,
+                       negative_slope=0.2, egate=None):
+    """Pure-XLA GATv2 conv (message/attention/aggregation) — the
+    edge-space half of the layer (``mgat_v2_conv.py:243-279``), op by
+    op.  Returns ``(conv [B,N,H·C], alpha [B,E,H])``.
 
     The node-gate→edge-gate step routes through
     :func:`~isubgvqa_tpu.sampling.node_edge.dense_node_gate_to_edge_gate`,
     whose custom VJP reproduces the reference's dst-only mask backward
     (``sampling/node_edge_masks.py:13-19``; applied at
-    ``mgat_v2_conv.py:169-171``) instead of the product rule.  The
-    fused Pallas kernel shares the identical *forward*; it runs at
-    inference only, so it carries no backward of its own.
+    ``mgat_v2_conv.py:169-171``) instead of the product rule.
 
     ``egate`` overrides the computed edge gate (used by gradient
     parity tests to read the cotangent arriving at the edge gate).
@@ -440,8 +492,7 @@ def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     from ...sampling.node_edge import dense_node_gate_to_edge_gate
 
     f32 = jnp.float32
-    b, n, c = h.shape
-    hc = params["wl"].shape[1]
+    b, n, c = xf.shape[0], xf.shape[1], xf.shape[2]
 
     x_l = jnp.einsum("bnc,ch->bnh", xf.astype(f32),
                      params["wl"].astype(f32)) + params["bl"]
@@ -471,7 +522,22 @@ def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     w_edge = alpha * egate
     w_bcast = jnp.einsum("beh,hk->bek", w_edge, params["expand"].astype(f32))
     conv = jnp.einsum("ben,beh->bnh", oh_dst, xs * w_bcast) + params["cbias"]
-    p = jnp.einsum("bnh,hp->bnp", conv, params["w1"].astype(f32)) + params["b1"]
+    return conv, alpha
+
+
+def gat_head_reference(h, conv, instr, gate, node_mask, params,
+                       apply_mask_to_h=False):
+    """Node-space half of the layer: x_proj MLP (``mgat.py:79-89``),
+    instruction-conditioned per-graph SDP reweighting
+    (``utils/scatter_scaled_dot_product.py:6-15``), GraphNorm, residual
+    (``mgat.py:168-172``), optional interpretable mask multiply.  Plain
+    differentiable XLA — these are dense batched matmuls and per-graph
+    reductions that the compiler already schedules well, so the fused
+    *training* path reuses this exact function after the Pallas conv
+    (:func:`isubgvqa_tpu.ops.pallas.gat_train.fused_gatconv`)."""
+    f32 = jnp.float32
+    p = jnp.einsum("bnh,hp->bnp", conv.astype(f32),
+                   params["w1"].astype(f32)) + params["b1"]
     p = jax.nn.gelu(p, approximate=False)
     p = jnp.einsum("bnp,pc->bnc", p, params["w2"].astype(f32)) + params["b2"]
     p = jax.nn.gelu(p, approximate=False)
@@ -493,4 +559,20 @@ def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     out = p + h.astype(f32)
     if apply_mask_to_h:
         out = out * gate.astype(f32)
-    return out.astype(h.dtype), alpha
+    return out.astype(h.dtype)
+
+
+def gat_layer_reference(h, xf, instr, gate, src, dst, edge_mask, node_mask,
+                        eproj, params, negative_slope=0.2,
+                        apply_mask_to_h=False, egate=None):
+    """Pure-XLA reference of the fused kernel (same math, op-by-op) —
+    the differentiable fallback/verification path, composed of
+    :func:`gat_conv_reference` + :func:`gat_head_reference`.  The
+    fused Pallas inference kernel shares the identical forward; the
+    fused *training* path (:mod:`.gat_train`) swaps the conv half for
+    a custom-VJP Pallas pair and keeps this head."""
+    conv, alpha = gat_conv_reference(xf, gate, src, dst, edge_mask, eproj,
+                                     params, negative_slope, egate=egate)
+    out = gat_head_reference(h, conv, instr, gate, node_mask, params,
+                             apply_mask_to_h=apply_mask_to_h)
+    return out, alpha

@@ -1,0 +1,467 @@
+"""Differentiable fused GATv2 conv — the Pallas *training* path.
+
+The inference kernel (:mod:`.gat_kernel`) fuses the whole MGAT layer
+but carries no backward.  Training previously fell back to the op-by-op
+XLA reference, which materializes every ``[B, E, H·C]`` edge tensor in
+HBM twice (forward residuals + backward reads) — the reason the train
+step ran ~4× slower than inference (round-2 bench).
+
+This module gives the *edge-space half* of the layer (the GATv2
+message/attention/aggregation of ``mgat_v2_conv.py:243-279``) a
+:func:`jax.custom_vjp` built from two Pallas kernels:
+
+* **forward** — the same math as the inference kernel up to the
+  aggregated ``conv [N, H·C]`` output (one grid program per graph, all
+  ``[E, H·C]`` intermediates in VMEM);
+* **backward** — one program per graph that *recomputes* the forward
+  in VMEM from the saved inputs (cheap: the same few MXU matmuls) and
+  then walks the chain in reverse.  Residuals are only the layer
+  inputs — no ``[B, E, H·C]`` tensor ever reaches HBM.  Parameter
+  gradients accumulate across the (sequential) TPU grid into shared
+  output blocks.
+
+The node-space half (x_proj MLP, SDP reweighting, GraphNorm, residual)
+stays on plain XLA via
+:func:`~isubgvqa_tpu.ops.pallas.gat_kernel.gat_head_reference` — dense
+batched matmuls and per-graph reductions the compiler already handles
+well, composed in :func:`fused_gat_layer_train`.
+
+Reference-quirk parity: the node-gate → edge-gate backward scatter-sums
+the cotangent to **destination nodes only**
+(``sampling/node_edge_masks.py:13-19``), exactly as the XLA path's
+:func:`~isubgvqa_tpu.sampling.node_edge.dense_node_gate_to_edge_gate`
+does; pinned by ``tests/test_gat_train.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gat_kernel import _NEG, gat_head_reference
+
+# Test escape hatch: forces the trainable fused path on (with
+# interpret-mode kernels) even off-TPU, so the model-level wiring can
+# be exercised on the CPU test mesh.
+FORCE_INTERPRET = False
+
+
+def _fwd_kernel(
+    xf_ref,       # [N, C]  instruction-fused node features (ship)
+    gate_ref,     # [N, 1]  node gate
+    src_ref,      # [E, 1]  int32
+    dst_ref,      # [E, 1]  int32
+    emask_ref,    # [E, 1]  float
+    e_ref,        # [E, C]  edge features (ship)
+    wl_ref, bl_ref,        # [C, HC], [1, HC]
+    wr_ref, br_ref,
+    attb_ref,              # [HC, H]
+    expand_ref,            # [H, HC]
+    cbias_ref,             # [1, HC]
+    we_ref,                # [C, HC]  lin_edge (ship)
+    conv_ref,     # out [N, HC] f32
+    alpha_ref,    # out [E, H]  f32
+    *,
+    negative_slope: float,
+):
+    f32 = jnp.float32
+    n = xf_ref.shape[0]
+    e = src_ref.shape[0]
+    nheads = attb_ref.shape[1]
+
+    emask = emask_ref[:]
+    gate = gate_ref[:].astype(f32)
+    xf = xf_ref[:].astype(f32)
+
+    x_l = (jnp.dot(xf, wl_ref[:], preferred_element_type=f32)
+           + bl_ref[:].astype(f32))
+    x_r = (jnp.dot(xf, wr_ref[:], preferred_element_type=f32)
+           + br_ref[:].astype(f32))
+
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    oh_src = (src_ref[:] == node_iota).astype(f32) * emask
+    oh_dst = (dst_ref[:] == node_iota).astype(f32) * emask
+
+    xs = jnp.dot(oh_src, x_l, preferred_element_type=f32)
+    xd = jnp.dot(oh_dst, x_r, preferred_element_type=f32)
+
+    # lin_edge in-kernel with ship-dtype rounding (Dense parity; same
+    # as the inference kernel, gat_kernel.py:127-129)
+    eproj = jnp.dot(e_ref[:], we_ref[:], preferred_element_type=f32)
+    eproj = eproj.astype(e_ref.dtype).astype(f32)
+    m0 = xs + xd + eproj
+
+    egate = (jnp.dot(oh_src, gate, preferred_element_type=f32)
+             * jnp.dot(oh_dst, gate, preferred_element_type=f32))
+    m1 = m0 * egate
+    m2 = jnp.where(m1 >= 0, m1, m1 * negative_slope)
+    m3 = m2 * egate
+
+    logits = jnp.dot(m3, attb_ref[:].astype(f32), preferred_element_type=f32)
+    logits = jnp.where(emask > 0, logits, _NEG)
+    inc = oh_dst > 0
+    max_cols = []
+    for hh in range(nheads):
+        lh = logits[:, hh][:, None]
+        mh = jnp.max(jnp.where(inc, lh, _NEG), axis=0)
+        max_cols.append(mh[:, None])
+    max_n = jnp.concatenate(max_cols, axis=1)                  # [N, H]
+    max_e = jnp.dot(oh_dst, max_n, preferred_element_type=f32)
+    expv = jnp.exp(logits - jnp.maximum(max_e, _NEG)) * emask
+    denom_n = jnp.dot(oh_dst.T, expv, preferred_element_type=f32)
+    denom_e = jnp.dot(oh_dst, denom_n, preferred_element_type=f32)
+    denom_safe = jnp.where(denom_e > 1e-12, denom_e, 1.0)
+    alpha = expv / denom_safe
+    alpha_ref[:] = alpha
+
+    w_edge = alpha * egate
+    w_bcast = jnp.dot(w_edge, expand_ref[:].astype(f32),
+                      preferred_element_type=f32)
+    conv_ref[:] = (jnp.dot(oh_dst.T, xs * w_bcast, preferred_element_type=f32)
+                   + cbias_ref[:].astype(f32))
+
+
+def _bwd_kernel(
+    # primals (same blocks as forward)
+    xf_ref, gate_ref, src_ref, dst_ref, emask_ref, e_ref,
+    wl_ref, bl_ref, wr_ref, br_ref, attb_ref, expand_ref, we_ref,
+    # cotangents
+    dconv_ref,    # [N, HC] f32
+    dalpha_ref,   # [E, H]  f32
+    # per-graph outputs
+    dxf_ref,      # [N, C]  f32
+    dgate_ref,    # [N, 1]  f32
+    de_ref,       # [E, C]  f32
+    # accumulated parameter gradients (shared block across programs)
+    dwl_ref, dbl_ref, dwr_ref, dbr_ref,
+    dattb_ref, dexpand_ref, dcbias_ref, dwe_ref,
+    *,
+    negative_slope: float,
+):
+    f32 = jnp.float32
+    n = xf_ref.shape[0]
+    e = src_ref.shape[0]
+    nheads = attb_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwl_ref[:] = jnp.zeros_like(dwl_ref)
+        dbl_ref[:] = jnp.zeros_like(dbl_ref)
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+        dbr_ref[:] = jnp.zeros_like(dbr_ref)
+        dattb_ref[:] = jnp.zeros_like(dattb_ref)
+        dexpand_ref[:] = jnp.zeros_like(dexpand_ref)
+        dcbias_ref[:] = jnp.zeros_like(dcbias_ref)
+        dwe_ref[:] = jnp.zeros_like(dwe_ref)
+
+    # ---- recompute the forward (inputs-only residuals)
+    emask = emask_ref[:]
+    gate = gate_ref[:].astype(f32)
+    xf = xf_ref[:].astype(f32)
+    ef = e_ref[:].astype(f32)
+    wl = wl_ref[:].astype(f32)
+    wr = wr_ref[:].astype(f32)
+    we = we_ref[:].astype(f32)
+    attb = attb_ref[:].astype(f32)
+    expand = expand_ref[:].astype(f32)
+
+    x_l = jnp.dot(xf, wl, preferred_element_type=f32) + bl_ref[:].astype(f32)
+    x_r = jnp.dot(xf, wr, preferred_element_type=f32) + br_ref[:].astype(f32)
+
+    node_iota = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    oh_src = (src_ref[:] == node_iota).astype(f32) * emask
+    oh_dst = (dst_ref[:] == node_iota).astype(f32) * emask
+
+    xs = jnp.dot(oh_src, x_l, preferred_element_type=f32)
+    xd = jnp.dot(oh_dst, x_r, preferred_element_type=f32)
+    eproj = jnp.dot(e_ref[:], we_ref[:], preferred_element_type=f32)
+    eproj = eproj.astype(e_ref.dtype).astype(f32)
+    m0 = xs + xd + eproj
+    egate = (jnp.dot(oh_src, gate, preferred_element_type=f32)
+             * jnp.dot(oh_dst, gate, preferred_element_type=f32))
+    m1 = m0 * egate
+    m2 = jnp.where(m1 >= 0, m1, m1 * negative_slope)
+    m3 = m2 * egate
+    logits = jnp.dot(m3, attb, preferred_element_type=f32)
+    logits = jnp.where(emask > 0, logits, _NEG)
+    inc = oh_dst > 0
+    max_cols = []
+    for hh in range(nheads):
+        lh = logits[:, hh][:, None]
+        mh = jnp.max(jnp.where(inc, lh, _NEG), axis=0)
+        max_cols.append(mh[:, None])
+    max_n = jnp.concatenate(max_cols, axis=1)
+    max_e = jnp.dot(oh_dst, max_n, preferred_element_type=f32)
+    expv = jnp.exp(logits - jnp.maximum(max_e, _NEG)) * emask
+    denom_n = jnp.dot(oh_dst.T, expv, preferred_element_type=f32)
+    denom_e = jnp.dot(oh_dst, denom_n, preferred_element_type=f32)
+    denom_safe = jnp.where(denom_e > 1e-12, denom_e, 1.0)
+    alpha = expv / denom_safe
+    w_edge = alpha * egate
+    w_bcast = jnp.dot(w_edge, expand, preferred_element_type=f32)
+
+    # ---- reverse pass
+    dconv = dconv_ref[:]
+    dcbias_ref[:] += jnp.sum(dconv, axis=0, keepdims=True)
+    d_wt = jnp.dot(oh_dst, dconv, preferred_element_type=f32)   # [E, HC]
+    d_xs = d_wt * w_bcast
+    d_wb = d_wt * xs
+    dexpand_ref[:] += jnp.dot(w_edge.T, d_wb, preferred_element_type=f32)
+    d_we_ = jnp.dot(d_wb, expand.T, preferred_element_type=f32)  # [E, H]
+    d_alpha = d_we_ * egate + dalpha_ref[:]
+    d_eg = jnp.sum(d_we_ * alpha, axis=1, keepdims=True)         # [E, 1]
+
+    # softmax-over-incoming-edges backward: t_e = segment sum of
+    # alpha·d_alpha broadcast back to the segment's edges
+    t_n = jnp.dot(oh_dst.T, alpha * d_alpha, preferred_element_type=f32)
+    t_e = jnp.dot(oh_dst, t_n, preferred_element_type=f32)
+    d_logits = alpha * (d_alpha - t_e)                           # [E, H]
+
+    d_m3 = jnp.dot(d_logits, attb.T, preferred_element_type=f32)
+    dattb_ref[:] += jnp.dot(m3.T, d_logits, preferred_element_type=f32)
+    d_m2 = d_m3 * egate
+    d_eg += jnp.sum(d_m3 * m2, axis=1, keepdims=True)
+    d_m1 = d_m2 * jnp.where(m1 >= 0, 1.0, negative_slope)
+    d_m0 = d_m1 * egate
+    d_eg += jnp.sum(d_m1 * m0, axis=1, keepdims=True)
+
+    # lin_edge
+    de_ref[:] = jnp.dot(d_m0, we.T, preferred_element_type=f32)
+    dwe_ref[:] += jnp.dot(ef.T, d_m0, preferred_element_type=f32)
+
+    # node projections
+    d_xs = d_xs + d_m0
+    d_xl = jnp.dot(oh_src.T, d_xs, preferred_element_type=f32)   # [N, HC]
+    d_xr = jnp.dot(oh_dst.T, d_m0, preferred_element_type=f32)   # (d_xd = d_m0)
+    dxf_ref[:] = (jnp.dot(d_xl, wl.T, preferred_element_type=f32)
+                  + jnp.dot(d_xr, wr.T, preferred_element_type=f32))
+    dwl_ref[:] += jnp.dot(xf.T, d_xl, preferred_element_type=f32)
+    dbl_ref[:] += jnp.sum(d_xl, axis=0, keepdims=True)
+    dwr_ref[:] += jnp.dot(xf.T, d_xr, preferred_element_type=f32)
+    dbr_ref[:] += jnp.sum(d_xr, axis=0, keepdims=True)
+
+    # node gate: the reference's dst-only backward quirk
+    # (node_edge_masks.py:13-19) — cotangent scatter-sums to
+    # destination nodes, no product-rule weighting
+    dgate_ref[:] = jnp.dot(oh_dst.T, d_eg, preferred_element_type=f32)
+
+
+_CONV_KEYS = ("wl", "bl", "wr", "br", "attb", "expand", "cbias", "we")
+
+
+def _prep(xf, gate, edge_mask, e_attr, params):
+    """Common input casting: big per-graph blocks ship at the model
+    dtype (bf16 halves the DMA); weights stay f32 except lin_edge
+    (Dense parity, as in the inference kernel)."""
+    f32 = jnp.float32
+    ship = jnp.bfloat16 if xf.dtype == jnp.bfloat16 else f32
+    return (
+        xf.astype(ship), gate.astype(ship),
+        edge_mask[..., None].astype(f32), e_attr.astype(ship),
+        {k: (params[k].astype(ship) if k == "we" else params[k].astype(f32))
+         for k in _CONV_KEYS},
+    )
+
+
+def _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr, params,
+                        negative_slope, interpret):
+    b, n, c = xf.shape
+    e = src.shape[1]
+    hc = params["wl"].shape[1]
+    nheads = params["attb"].shape[1]
+    f32 = jnp.float32
+    xf_s, gate_s, emask, e_s, p = _prep(xf, gate, edge_mask, e_attr, params)
+
+    def in2(shape):
+        return pl.BlockSpec((None,) + shape,
+                            lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    conv, alpha = pl.pallas_call(
+        functools.partial(_fwd_kernel, negative_slope=negative_slope),
+        grid=(b,),
+        in_specs=[
+            in2((n, c)), in2((n, 1)),
+            in2((e, 1)), in2((e, 1)), in2((e, 1)),
+            in2((e, c)),
+            bcast((c, hc)), bcast((1, hc)),
+            bcast((c, hc)), bcast((1, hc)),
+            bcast((hc, nheads)), bcast((nheads, hc)),
+            bcast((1, hc)), bcast((c, hc)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, n, hc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, e, nheads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hc), f32),
+            jax.ShapeDtypeStruct((b, e, nheads), f32),
+        ),
+        interpret=interpret,
+    )(
+        xf_s, gate_s,
+        src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
+        emask, e_s,
+        p["wl"], p["bl"][None, :], p["wr"], p["br"][None, :],
+        p["attb"], p["expand"], p["cbias"][None, :], p["we"],
+    )
+    return conv, alpha
+
+
+def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr, params,
+                        dconv, dalpha, negative_slope, interpret):
+    b, n, c = xf.shape
+    e = src.shape[1]
+    hc = params["wl"].shape[1]
+    nheads = params["attb"].shape[1]
+    f32 = jnp.float32
+    xf_s, gate_s, emask, e_s, p = _prep(xf, gate, edge_mask, e_attr, params)
+
+    def in2(shape):
+        return pl.BlockSpec((None,) + shape,
+                            lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def acc(shape):
+        # parameter-gradient accumulator: every program writes the
+        # same block; the sequential TPU grid makes += well-defined
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, negative_slope=negative_slope),
+        grid=(b,),
+        in_specs=[
+            in2((n, c)), in2((n, 1)),
+            in2((e, 1)), in2((e, 1)), in2((e, 1)),
+            in2((e, c)),
+            bcast((c, hc)), bcast((1, hc)),
+            bcast((c, hc)), bcast((1, hc)),
+            bcast((hc, nheads)), bcast((nheads, hc)), bcast((c, hc)),
+            in2((n, hc)), in2((e, nheads)),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, e, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            acc((c, hc)), acc((1, hc)), acc((c, hc)), acc((1, hc)),
+            acc((hc, nheads)), acc((nheads, hc)), acc((1, hc)),
+            acc((c, hc)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), f32),
+            jax.ShapeDtypeStruct((b, n, 1), f32),
+            jax.ShapeDtypeStruct((b, e, c), f32),
+            jax.ShapeDtypeStruct((c, hc), f32),
+            jax.ShapeDtypeStruct((1, hc), f32),
+            jax.ShapeDtypeStruct((c, hc), f32),
+            jax.ShapeDtypeStruct((1, hc), f32),
+            jax.ShapeDtypeStruct((hc, nheads), f32),
+            jax.ShapeDtypeStruct((nheads, hc), f32),
+            jax.ShapeDtypeStruct((1, hc), f32),
+            jax.ShapeDtypeStruct((c, hc), f32),
+        ),
+        interpret=interpret,
+    )(
+        xf_s, gate_s,
+        src[..., None].astype(jnp.int32), dst[..., None].astype(jnp.int32),
+        emask, e_s,
+        p["wl"], p["bl"][None, :], p["wr"], p["br"][None, :],
+        p["attb"], p["expand"], p["we"],
+        dconv, dalpha,
+    )
+    (dxf, dgate, de, dwl, dbl, dwr, dbr, dattb, dexpand, dcbias, dwe) = outs
+    return dxf, dgate, de, {
+        "wl": dwl, "bl": dbl[0], "wr": dwr, "br": dbr[0],
+        "attb": dattb, "expand": dexpand, "cbias": dcbias[0], "we": dwe,
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_gatconv(xf, gate, src, dst, edge_mask, e_attr, params,
+                  negative_slope=0.2, interpret=False):
+    """Fused GATv2 conv with a Pallas backward.
+
+    ``xf [B,N,C]``, ``gate [B,N,1]``, ``src/dst [B,E]`` int32,
+    ``edge_mask [B,E]`` bool, ``e_attr [B,E,C]``, ``params`` with keys
+    ``wl, bl, wr, br, attb, expand, cbias, we`` → ``(conv [B,N,H·C]
+    f32, alpha [B,E,H] f32)``.  Gradients are defined for ``xf``,
+    ``gate`` (dst-only quirk), ``e_attr`` and every params leaf;
+    ``src/dst/edge_mask`` get float0.  Matches
+    :func:`~.gat_kernel.gat_conv_reference`'s ``jax.grad`` to f32
+    accuracy (pinned by ``tests/test_gat_train.py``).
+    """
+    return _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr,
+                               {k: params[k] for k in _CONV_KEYS},
+                               negative_slope, interpret)
+
+
+def _vjp_fwd(xf, gate, src, dst, edge_mask, e_attr, params,
+             negative_slope, interpret):
+    out = _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr,
+                              {k: params[k] for k in _CONV_KEYS},
+                              negative_slope, interpret)
+    return out, (xf, gate, src, dst, edge_mask, e_attr, params)
+
+
+def _vjp_bwd(negative_slope, interpret, residuals, cts):
+    xf, gate, src, dst, edge_mask, e_attr, params = residuals
+    dconv, dalpha = cts
+    dxf, dgate, de, dparams = _gatconv_pallas_bwd(
+        xf, gate, src, dst, edge_mask, e_attr,
+        {k: params[k] for k in _CONV_KEYS},
+        dconv.astype(jnp.float32), dalpha.astype(jnp.float32),
+        negative_slope, interpret)
+    f0 = jax.dtypes.float0
+    dparams_full = {k: dparams[k].astype(params[k].dtype)
+                    for k in _CONV_KEYS}
+    # any extra leaves in the params dict (head weights passed along)
+    # get zero cotangents
+    for k in params:
+        if k not in dparams_full:
+            dparams_full[k] = jnp.zeros_like(params[k])
+    return (
+        dxf.astype(xf.dtype),
+        dgate.astype(gate.dtype),
+        np.zeros(src.shape, dtype=f0),
+        np.zeros(dst.shape, dtype=f0),
+        np.zeros(edge_mask.shape, dtype=f0),
+        de.astype(e_attr.dtype),
+        dparams_full,
+    )
+
+
+fused_gatconv.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_gat_layer_train(h, xf, instr, gate, src, dst, edge_mask,
+                          node_mask, e_attr, params, negative_slope=0.2,
+                          apply_mask_to_h=False, interpret=False):
+    """Differentiable fused MGAT layer: Pallas conv (custom VJP) + XLA
+    head — drop-in for
+    :func:`~.gat_kernel.gat_layer_reference` during training, sharing
+    the same parameters.  Returns ``(out [B,N,C], alpha [B,E,H])``."""
+    conv_params = {k: params[k] for k in _CONV_KEYS}
+    conv, alpha = fused_gatconv(xf, gate, src, dst, edge_mask, e_attr,
+                                conv_params, negative_slope, interpret)
+    out = gat_head_reference(h, conv, instr, gate, node_mask, params,
+                             apply_mask_to_h=apply_mask_to_h)
+    return out, alpha
