@@ -89,6 +89,9 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_data_shards", type=int, default=None)
     p.add_argument("--question_len", type=int, default=d.question_len)
     p.add_argument("--num_answers", type=int, default=d.num_answers)
+    p.add_argument("--profile_dir", default=d.profile_dir,
+                   help="capture a jax.profiler trace of fit() here and "
+                        "log per-epoch step-time summaries")
     return p
 
 

@@ -92,6 +92,10 @@ class Config:
     output_dir: str = "./outputdir"
     log_name: str = "gtsg.log"
     experiment_name: Optional[str] = None
+    # jax.profiler trace directory (SURVEY §5 tracing): when set, fit()
+    # captures an XProf/TensorBoard trace there and the Trainer logs a
+    # per-epoch step-time/memory summary.  Empty = disabled.
+    profile_dir: str = ""
 
     # ---- TPU-native execution ----
     compute_dtype: str = "bfloat16"         # matmul/activation dtype on TPU

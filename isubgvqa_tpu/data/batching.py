@@ -224,15 +224,23 @@ def iterate_batches_bucketed(
     ``collators`` maps bucket key -> Collator (one jit specialization
     per bucket).  Keys are ``(node_cap, question_len_cap)`` tuples
     (:func:`~isubgvqa_tpu.data.build.build_bucket_collators`); bare
-    node-cap int keys are also accepted (question length then plays no
-    part in routing).  Buckets are tried in ascending (node, qlen)
+    node-cap int keys are also accepted — when mixed with tuple keys
+    their spec's ``question_len`` still gates routing, so a long
+    question never silently truncates into an int-key bucket (with
+    only int keys, token counts are not computed and question length
+    plays no part).  Buckets are tried in ascending (node, qlen)
     order; the last (largest) bucket is the truncating fallback.
 
-    Multi-process caveat: with ``num_shards > 1`` each process routes
-    *its own* samples, so hosts see different batch-shape sequences —
-    unusable for lock-step SPMD steps that carry cross-host
-    collectives.  The Trainer therefore only buckets single-process
-    runs (``train/loop.py:_iter_split``).
+    Multi-host SPMD: routing is deterministic given the full index
+    list, so every host computes the **same global bucket schedule**
+    and takes its stride within it.  Batches are grouped into
+    same-shape *rounds* of ``num_shards`` (each bucket's batch list is
+    wrap-padded to a multiple of ``num_shards``, DistributedSampler
+    semantics); host ``shard_index`` collates the round's
+    ``shard_index``-th batch.  All hosts therefore issue identical
+    batch-shape sequences and equal step counts — safe for lock-step
+    steps that carry cross-host collectives.  Pinned by
+    ``tests/test_bucketed_batching.py::test_sharded_bucketing_lockstep``.
     """
     def norm_key(k):
         # bare int keys carry no question-length constraint: order them
@@ -241,14 +249,15 @@ def iterate_batches_bucketed(
 
     caps = sorted(collators.keys(), key=norm_key)
     any_qlen = any(isinstance(k, tuple) for k in caps)
+    # the FULL index list on every host — sharding happens on the
+    # schedule below, never on the samples, so hosts agree on it
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
-    idx = idx[shard_index::num_shards]
 
     # every collator shares one tokenizer, so the (BPE) token count is
-    # computed once per sample, and the fetched sample object is kept
-    # for collation instead of re-fetching by index
+    # computed once per sample; with num_shards > 1 only the shard's
+    # own chunks are fetched/collated — routing needs just the sizes
     per_bucket: dict = {c: [] for c in caps}
     for j in idx:
         sample = dataset[int(j)]
@@ -258,30 +267,40 @@ def iterate_batches_bucketed(
              if any_qlen else 0)
         for key in caps:
             spec = collators[key].spec
+            # the question-length check applies to bare-int keys too
+            # (their spec still has a question_len): a long question
+            # must fall through to the largest bucket, never be
+            # silently truncated by a small one
             if (n <= spec.max_nodes_per_graph
                     and e <= spec.max_edges_per_graph
-                    and (not isinstance(key, tuple)
-                         or q <= spec.question_len)):
+                    and (not any_qlen or q <= spec.question_len)):
                 per_bucket[key].append(sample)
                 break
         else:
             per_bucket[caps[-1]].append(sample)
 
     rng = np.random.default_rng(seed + 1)
-    schedule = []
+    # rounds: ``num_shards`` same-bucket chunks; every host walks the
+    # same round sequence and takes its own chunk
+    rounds = []
     for cap in caps:
         b = collators[cap].spec.batch_size
         members = per_bucket[cap]
         n_full = len(members) // b
-        for i in range(n_full):
-            schedule.append((cap, members[i * b:(i + 1) * b]))
+        chunks = [members[i * b:(i + 1) * b] for i in range(n_full)]
         rem = members[n_full * b:]
         if rem and not drop_last:
-            schedule.append((cap, rem))
+            chunks.append(rem)
+        if not chunks:
+            continue
+        pad = (-len(chunks)) % num_shards
+        chunks += [chunks[i % len(chunks)] for i in range(pad)]  # wrap-pad
+        for i in range(0, len(chunks), num_shards):
+            rounds.append((cap, chunks[i:i + num_shards]))
     if shuffle:
-        rng.shuffle(schedule)
-    for cap, chunk in schedule:
-        yield collators[cap].collate(chunk)
+        rng.shuffle(rounds)
+    for cap, group in rounds:
+        yield collators[cap].collate(group[shard_index])
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:

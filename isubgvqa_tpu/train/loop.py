@@ -23,6 +23,7 @@ from ..data.batching import (iterate_batches, iterate_batches_bucketed,
 from ..data.build import DataBundle
 from .distributed_metrics import reduce_dict
 from ..parallel.mesh import is_main_process, make_mesh, shard_batch, replicate
+from ..utils.profiling import StepProfiler, trace
 from .checkpoint import CheckpointManager
 from .metrics import AverageMeter, ProgressMeter, StepTimer
 from .schedule import make_optimizer
@@ -73,16 +74,15 @@ class Trainer:
         carries more than one bucket (one jit specialization per
         bucket), else fixed-shape; always sharded per process.
 
-        Bucketing is single-process only: with per-process index
-        sharding each host would route its own samples into buckets
-        independently, so hosts would issue mismatched batch-shape
-        sequences — and every step carries cross-host collectives, so
-        multi-host SPMD must stay in lock-step.  Multi-process runs
-        fall back to the fixed-shape iterator (whose wrap-padded
-        sharding guarantees equal step counts per host)."""
+        Multi-host runs bucket too: the bucketed iterator computes the
+        same global bucket schedule on every host from the full index
+        list and stride-shards *within* it, so all hosts issue
+        identical batch-shape sequences and equal step counts — the
+        lock-step requirement of SPMD steps that carry cross-host
+        collectives (``data/batching.py:iterate_batches_bucketed``)."""
         ds = self.data.datasets[split]
         buckets = self.data.bucket_collators.get(split)
-        if buckets and len(buckets) > 1 and self.num_shards == 1:
+        if buckets and len(buckets) > 1:
             it = iterate_batches_bucketed(
                 ds, buckets, shuffle=shuffle, seed=seed,
                 drop_last=drop_last, shard_index=self.shard_index,
@@ -101,6 +101,10 @@ class Trainer:
         ds = self.data.datasets["train"]
         batches = self._iter_split("train", shuffle=True,
                                    seed=cfg.seed + epoch, drop_last=True)
+        # upper bound only: bucketed iteration drops each bucket's own
+        # tail under drop_last, so the true count can be lower — the
+        # meter prefix says "/<=N" and the final display(i+1) after the
+        # loop reports the exact count
         n_batches = len(ds) // self.num_shards // cfg.batch_size
 
         batch_time = AverageMeter("Time", ":4.2f")
@@ -108,10 +112,13 @@ class Trainer:
         losses = AverageMeter("Loss", ":.2e")
         grad_norm = AverageMeter("GradNorm", ":4.2f")
         ans_short = AverageMeter("Acc@Short-MGat", ":4.2f")
+        buckets = self.data.bucket_collators.get("train")
+        bucketed = bool(buckets and len(buckets) > 1)
         progress = ProgressMeter(
             n_batches, [batch_time, data_time, losses, grad_norm, ans_short],
-            prefix=f"Epoch: [{epoch}]")
+            prefix=f"Epoch: [{epoch}]", estimate=bucketed)
         timer = StepTimer()
+        profiler = StepProfiler(enabled=bool(cfg.profile_dir))
 
         i = -1
         for i, (batch, meta) in enumerate(batches):
@@ -129,11 +136,14 @@ class Trainer:
             grad_norm.update(float(metrics["grad_norm"]))
             ans_short.update(acc, count)
             batch_time.update(timer.lap())
-            if is_main_process() and (i % cfg.print_freq == 0
-                                      or i == n_batches - 1):
+            profiler.step()
+            if is_main_process() and i % cfg.print_freq == 0:
                 progress.display(i)
         if is_main_process():
             progress.display(i + 1)
+            if profiler.enabled:
+                logger.info("step profile epoch %d: %s", epoch,
+                            profiler.summary())
         return losses.avg
 
     def validate_epoch(self, epoch: int, split: str = "dev"):
@@ -167,7 +177,9 @@ class Trainer:
     # ------------------------------------------------------------ driver
 
     def fit(self) -> float:
-        """train_loop.py:40-132."""
+        """train_loop.py:40-132.  With ``cfg.profile_dir`` set, the
+        whole run is captured as a jax.profiler trace (SURVEY §5) and
+        each epoch logs a step-time/device-memory summary."""
         cfg = self.cfg
         if cfg.evaluate or cfg.pre_eval:
             self.validate_epoch(-1)
@@ -175,15 +187,16 @@ class Trainer:
                 return 0.0
         top_accuracy = 0.0
         loss_lowest = float(sys.maxsize)
-        for epoch in range(cfg.start_epoch, cfg.epochs):
-            self.train_epoch(epoch)
-            val_acc, val_loss = self.validate_epoch(epoch)
-            loss_lowest, top_accuracy = self.ckpt.save_policy(
-                self.state, epoch, cfg, val_loss, val_acc,
-                loss_lowest, top_accuracy)
-            if is_main_process():
-                print(f"Top validation accuracy so far was {top_accuracy}",
-                      flush=True)
+        with trace(cfg.profile_dir or None):
+            for epoch in range(cfg.start_epoch, cfg.epochs):
+                self.train_epoch(epoch)
+                val_acc, val_loss = self.validate_epoch(epoch)
+                loss_lowest, top_accuracy = self.ckpt.save_policy(
+                    self.state, epoch, cfg, val_loss, val_acc,
+                    loss_lowest, top_accuracy)
+                if is_main_process():
+                    print(f"Top validation accuracy so far was "
+                          f"{top_accuracy}", flush=True)
         return top_accuracy
 
     def resume(self, path: str, model_only: bool = False):

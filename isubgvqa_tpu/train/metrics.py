@@ -60,9 +60,13 @@ class ProgressMeter:
     """``utils/progress_meter.py:6-26``."""
 
     def __init__(self, num_batches: int, meters: Sequence[AverageMeter],
-                 prefix: str = ""):
+                 prefix: str = "", estimate: bool = False):
+        """``estimate`` marks ``num_batches`` as an upper bound (the
+        bucketed iterator drops each bucket's tail, so the exact count
+        is only known after the epoch): the total renders as ``<=N``."""
         num_digits = len(str(num_batches // 1))
-        self.batch_fmtstr = "[{:" + str(num_digits) + "d}/" + str(num_batches) + "]"
+        total = ("<=" if estimate else "") + str(num_batches)
+        self.batch_fmtstr = "[{:" + str(num_digits) + "d}/" + total + "]"
         self.meters = meters
         self.prefix = prefix
 

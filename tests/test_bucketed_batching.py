@@ -182,3 +182,95 @@ def test_question_len_bucket_routing():
             assert tok.count_tokens(q) <= L
     # synthetic questions are all short -> everything at the 16 cap
     assert seen_qlens == {16}
+
+
+def test_int_key_bucket_never_truncates_long_questions():
+    """Mixed int/tuple keys: a question longer than an int-key bucket's
+    question_len must fall through to a larger bucket rather than be
+    silently truncated (the tuple-key path already refused this)."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=24, seed=0)
+    tok = HashWordTokenizer(max_len=32)
+    collators = {
+        8: Collator(tok, BucketSpec(2, max_nodes_per_graph=8,
+                                    max_edges_per_graph=48,
+                                    question_len=2),   # too short for all
+                    vocab=vocab),
+        (32, 32): Collator(tok, BucketSpec(2, max_nodes_per_graph=32,
+                                           max_edges_per_graph=160,
+                                           question_len=32), vocab=vocab),
+    }
+    seen = 0
+    for batch, meta in iterate_batches_bucketed(ds, collators):
+        seen += meta.num_real
+        L = batch.qst_tokens.shape[1]
+        for q in meta.questions:
+            # no sample rides a bucket whose cap its question exceeds
+            assert tok.count_tokens(q) <= L
+    assert seen == 24
+
+
+def test_sharded_bucketing_lockstep():
+    """Multi-host bucketing: every shard must issue the IDENTICAL
+    batch-shape sequence (lock-step SPMD requirement), equal step
+    counts, and the union of shards must cover the dataset."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=41, seed=0)   # odd on purpose
+    tok = HashWordTokenizer(max_len=12)
+    collators = {
+        8: Collator(tok, BucketSpec(4, max_nodes_per_graph=8,
+                                    max_edges_per_graph=48,
+                                    question_len=12), vocab=vocab),
+        32: Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                     max_edges_per_graph=160,
+                                     question_len=12), vocab=vocab),
+    }
+    shapes, qids, counts = [], set(), []
+    for shard in range(2):
+        seq = []
+        n = 0
+        for batch, meta in iterate_batches_bucketed(
+                ds, collators, shuffle=True, seed=5,
+                shard_index=shard, num_shards=2):
+            seq.append((batch.node_tokens.shape, batch.edge_src.shape,
+                        batch.qst_tokens.shape))
+            qids.update(meta.question_ids)
+            n += 1
+        shapes.append(seq)
+        counts.append(n)
+    assert counts[0] == counts[1] and counts[0] > 0
+    assert shapes[0] == shapes[1], "hosts must issue identical shapes"
+    assert len(qids) == 41, "every sample covered across shards"
+
+
+def test_sharded_bucketing_matches_unsharded_coverage():
+    """num_shards=1 stays byte-identical to the previous behavior
+    (same shuffle stream), and 4-way sharding still covers all."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=24, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+
+    def make_collators():
+        return {
+            8: Collator(tok, BucketSpec(4, max_nodes_per_graph=8,
+                                        max_edges_per_graph=48,
+                                        question_len=12), vocab=vocab),
+            32: Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                         max_edges_per_graph=160,
+                                         question_len=12), vocab=vocab),
+        }
+
+    qids = set()
+    counts = []
+    for shard in range(4):
+        n = 0
+        for batch, meta in iterate_batches_bucketed(
+                ds, make_collators(), shard_index=shard, num_shards=4):
+            qids.update(meta.question_ids)
+            n += 1
+        counts.append(n)
+    assert len(set(counts)) == 1
+    assert len(qids) == 24

@@ -127,3 +127,23 @@ def test_sharded_validation_recombines_to_full():
     # dev split is 16 samples -> 8 per shard, equal counts
     np.testing.assert_allclose((acc0 + acc1) / 2, acc_full, atol=1e-4)
     np.testing.assert_allclose((loss0 + loss1) / 2, loss_full, rtol=1e-5)
+
+
+def test_profile_dir_produces_trace(tmp_path):
+    """--profile_dir wiring (SURVEY §5 tracing): a 1-epoch fit with
+    cfg.profile_dir set must write a jax.profiler trace there."""
+    from isubgvqa_tpu.data.build import build_datasets
+    from isubgvqa_tpu.train.loop import Trainer
+
+    prof_dir = tmp_path / "trace"
+    cfg = dataclasses.replace(
+        small_cfg(), synthetic=True, synthetic_size=8, meta_dir="",
+        batch_size=4, epochs=1, output_dir=str(tmp_path / "out"),
+        profile_dir=str(prof_dir))
+    data = build_datasets(cfg)
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
+    model = build_model(cfg, data.vocab)
+    Trainer(cfg, model, data).fit()
+    trace_files = list(prof_dir.rglob("*"))
+    assert any(f.is_file() for f in trace_files), \
+        "profile_dir set but no trace captured"
