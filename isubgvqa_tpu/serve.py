@@ -26,7 +26,8 @@ import jax
 import numpy as np
 
 from .config import Config
-from .data.batching import BucketSpec, Collator
+from .data.batching import BucketSpec, Collator, iterate_batches_bucketed
+from .data.build import build_bucket_collators
 from .data.gqa import AnswerMap, Sample
 from .data.scene_graph import convert_scene_graph
 from .data.tokenizer import build_tokenizer
@@ -61,7 +62,9 @@ class Predictor:
         self.tokenizer = build_tokenizer(cfg.clip_tokenizer_dir,
                                          max_len=cfg.question_len,
                                          vocab_size=cfg.text_vocab_size)
-        self._spec_cache: Dict[int, Collator] = {}
+        # batch_size -> bucket-key -> Collator
+        self._spec_cache: Dict[int, Dict[tuple, Collator]] = {}
+        self.last_batch_shapes: List[tuple] = []
 
         model = self.model
 
@@ -134,14 +137,14 @@ class Predictor:
 
     # ---------------------------------------------------------- predict
 
-    def _collator(self, batch_size: int) -> Collator:
+    def _collators(self, batch_size: int) -> Dict[tuple, Collator]:
+        """Size-bucketed collators (one jit specialization per bucket)
+        so small graphs / short questions don't pay the largest caps'
+        padding — the Trainer/explain-runner economics applied to
+        serving (``data/build.py:build_bucket_collators``)."""
         if batch_size not in self._spec_cache:
-            spec = BucketSpec(batch_size=batch_size,
-                              max_nodes_per_graph=self.cfg.max_nodes_per_graph,
-                              max_edges_per_graph=self.cfg.max_edges_per_graph,
-                              question_len=self.cfg.question_len)
-            self._spec_cache[batch_size] = Collator(self.tokenizer, spec,
-                                                    vocab=self.vocab)
+            self._spec_cache[batch_size] = build_bucket_collators(
+                self.cfg, self.tokenizer, self.vocab, batch_size=batch_size)
         return self._spec_cache[batch_size]
 
     def predict(self, questions: Sequence[str],
@@ -149,7 +152,11 @@ class Predictor:
                 batch_size: int = 64,
                 seed: int = 0) -> List[Prediction]:
         """Answer ``questions[i]`` against ``scene_graphs[i]`` (GQA
-        scene-graph dicts).  Pads the final partial batch."""
+        scene-graph dicts).  Batches are size-bucketed; partial
+        batches are padded.  The PRNG key is folded per batch so
+        noisy-eval samplers (gumbel/aimle/simple — reference-faithful
+        behavior) draw fresh noise for every batch of a large request,
+        as the Trainer's validation loop does (``train/loop.py``)."""
         assert len(questions) == len(scene_graphs)
         samples = [
             Sample(f"q{i}", convert_scene_graph(sg, self.vocab,
@@ -157,24 +164,27 @@ class Predictor:
                    q, {}, 0, f"img{i}")
             for i, (q, sg) in enumerate(zip(questions, scene_graphs))
         ]
-        coll = self._collator(batch_size)
         key = jax.random.PRNGKey(seed)
-        results: List[Prediction] = []
-        for start in range(0, len(samples), batch_size):
-            chunk = samples[start:start + batch_size]
-            batch, meta = coll.collate(chunk)
+        results: List[Optional[Prediction]] = [None] * len(samples)
+        self.last_batch_shapes = []       # introspection / tests
+        for b_idx, (batch, meta) in enumerate(iterate_batches_bucketed(
+                samples, self._collators(batch_size))):
+            batch_rng = jax.random.fold_in(key, b_idx)
+            self.last_batch_shapes.append(
+                (batch.node_tokens.shape, batch.qst_tokens.shape))
             logits, node_mask, gate = jax.device_get(
-                self._forward(self.params, self.batch_stats, batch, key))
+                self._forward(self.params, self.batch_stats, batch,
+                              batch_rng))
             probs = _softmax(logits)
             nm = (node_mask[..., 0] if node_mask is not None
                   else np.ones(batch.node_tokens.shape[:2]))
-            for s in range(len(chunk)):
+            for s in range(meta.num_real):
                 valid = np.asarray(batch.node_mask)[s]
                 labels = [self.vocab.itos[t] for t in
                           np.asarray(batch.node_tokens)[s][valid, 0]]
                 mask_s = nm[s][valid]
                 order = np.argsort(-probs[s])[: self.topk]
-                results.append(Prediction(
+                results[int(meta.question_ids[s][1:])] = Prediction(
                     answer=self.answers.label2ans[int(order[0])],
                     confidence=float(probs[s][order[0]]),
                     top_answers=[(self.answers.label2ans[int(j)],
@@ -183,7 +193,7 @@ class Predictor:
                                     if m > 0],
                     node_mask=mask_s,
                     gate=np.asarray(gate)[s][valid, 0],
-                ))
+                )
         return results
 
 
