@@ -26,6 +26,7 @@ from ..data.batching import (iterate_batches, iterate_batches_bucketed,
                              prefetch)
 from ..data.build import DataBundle
 from ..config import Config
+from ..train.distributed_metrics import reduce_dict
 from .token_coo import (
     compute_ans_token_cooccurrence,
     compute_qst_token_cooccurrence,
@@ -43,6 +44,9 @@ class ExplainResults:
     qst_token_coo: float
     text_token_coo: float
     num_samples: int
+    # raw (already cross-host-reduced) metric sums/counts — lets
+    # callers and tests recombine shard results exactly
+    sums: Optional[dict] = None
 
     def summary(self) -> str:
         return (f"Accuracy: {self.accuracy}\n"
@@ -64,7 +68,17 @@ def run_token_coo_exp(
     save_qst_meta_data: bool = False,
     max_batches: Optional[int] = None,
     seed: int = 0,
+    shard_index: Optional[int] = None,
+    num_shards: Optional[int] = None,
 ) -> ExplainResults:
+    """Multi-host runs shard the dev set per process (the Trainer's
+    DistributedSampler-parity pattern, ``train/loop.py``) and reduce
+    the metric sums across hosts, so N hosts each do 1/N of the work
+    and every host reports the full-set metrics."""
+    if shard_index is None:
+        shard_index = jax.process_index()
+    if num_shards is None:
+        num_shards = jax.process_count()
     eval_rng = jax.random.PRNGKey(seed)
 
     @jax.jit
@@ -89,10 +103,17 @@ def run_token_coo_exp(
     if buckets and len(buckets) > 1:
         # size-bucketed eval: small graphs run at small static shapes
         # (one jit specialization per bucket) instead of paying the
-        # largest cap's padding
-        batches = iterate_batches_bucketed(ds, buckets)
+        # largest cap's padding.  A truncated run (max_batches) must
+        # not sample only the first bucket's small-graph batches, so
+        # the bucket schedule is interleaved with a fixed seed — the
+        # full run visits every batch either way.
+        batches = iterate_batches_bucketed(
+            ds, buckets, shuffle=max_batches is not None, seed=seed,
+            shard_index=shard_index, num_shards=num_shards)
     else:
-        batches = iterate_batches(ds, data.collators[split])
+        batches = iterate_batches(ds, data.collators[split],
+                                  shard_index=shard_index,
+                                  num_shards=num_shards)
     for b_idx, (batch, meta) in enumerate(prefetch(batches, depth=2)):
         if max_batches is not None and b_idx >= max_batches:
             break
@@ -168,17 +189,35 @@ def run_token_coo_exp(
                                    "answer": answer_str,
                                    "label": label_gt}, f)
 
-    def nanmean(xs):
-        vals = [x[0] if isinstance(x, tuple) else x for x in xs]
-        return float(np.nanmean(vals)) if vals else float("nan")
+    # reduce per-shard sums across hosts so every process reports the
+    # full-set metrics (recombination pinned by
+    # tests/test_explain.py::test_sharded_explain_recombines)
+    def nan_sums(xs):
+        vals = np.asarray([x[0] if isinstance(x, tuple) else x for x in xs],
+                          dtype=np.float64)
+        return float(np.nansum(vals)), float(np.sum(~np.isnan(vals)))
+
+    sums = {}
+    sums["acc_sum"], sums["acc_n"] = float(np.sum(accuracy)), float(len(accuracy))
+    sums["acc_at_sum"], sums["acc_at_n"] = (float(np.sum(accuracy_at)),
+                                            float(len(accuracy_at)))
+    sums["ans_sum"], sums["ans_n"] = nan_sums(ans_coo)
+    sums["qst_sum"], sums["qst_n"] = nan_sums(qst_coo)
+    sums["text_sum"], sums["text_n"] = nan_sums(text_coo)
+    sums["n_seen"] = float(n_seen)
+    totals = reduce_dict(sums, average=False)
+
+    def ratio(s, n):
+        return float(totals[s] / totals[n]) if totals[n] else float("nan")
 
     res = ExplainResults(
-        accuracy=float(np.mean(accuracy)) if accuracy else float("nan"),
-        accuracy_at=float(np.mean(accuracy_at)) if accuracy_at else float("nan"),
-        ans_token_coo=nanmean(ans_coo),
-        qst_token_coo=nanmean(qst_coo),
-        text_token_coo=nanmean(text_coo),
-        num_samples=n_seen,
+        accuracy=ratio("acc_sum", "acc_n"),
+        accuracy_at=ratio("acc_at_sum", "acc_at_n"),
+        ans_token_coo=ratio("ans_sum", "ans_n"),
+        qst_token_coo=ratio("qst_sum", "qst_n"),
+        text_token_coo=ratio("text_sum", "text_n"),
+        num_samples=int(totals["n_seen"]),
+        sums=dict(totals),
     )
     print(res.summary(), flush=True)
     return res

@@ -77,3 +77,31 @@ def test_run_token_coo_exp_end_to_end(bundle, capsys):
     assert "Accuracy:" in out
     assert res.num_samples == 8
     assert 0.0 <= res.accuracy <= 1.0
+
+
+def test_sharded_explain_recombines():
+    """Two explicit shards each see half the dev set; their metric
+    sums combine exactly to the unsharded run's (the multi-host
+    explain pattern — each host does 1/N work, ``reduce_dict`` then
+    restores the full-set numbers).  Uses the deterministic hard-
+    sigmoid masking path (use_topk=False): the noisy-eval samplers
+    draw batch-shaped noise, so per-sample outputs would legitimately
+    differ with batch composition."""
+    cfg = dataclasses.replace(
+        small_cfg(), synthetic=True, synthetic_size=32, batch_size=4,
+        eval_batch_factor=2, meta_dir="", epochs=0, use_topk=False)
+    data = build_datasets(cfg)
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
+    model = build_model(cfg, data.vocab)
+    trainer = Trainer(cfg, model, data)
+
+    kw = dict(model=model, state=trainer.state, data=data, cfg=cfg,
+              split="dev", seed=7)
+    full = run_token_coo_exp(**kw)
+    shard0 = run_token_coo_exp(**kw, shard_index=0, num_shards=2)
+    shard1 = run_token_coo_exp(**kw, shard_index=1, num_shards=2)
+
+    assert shard0.num_samples + shard1.num_samples == full.num_samples
+    combined = {k: shard0.sums[k] + shard1.sums[k] for k in full.sums}
+    for k, v in full.sums.items():
+        assert combined[k] == pytest.approx(v, abs=1e-9), k
