@@ -515,3 +515,237 @@ def test_full_model_logits_match_torch(golden):
             logits_t = m(ids, qmask, nt, bb, ei, et, sym, bvec)
         np.testing.assert_allclose(logits_j[s], logits_t.numpy()[0],
                                    rtol=1e-3, atol=2e-3)
+
+
+# ------------------------------------------------- gradient golden parity
+
+class NodeMaskToEdgeMaskFn(torch.autograd.Function):
+    """The reference's custom autograd Function
+    (``sampling/node_edge_masks.py:5-19``): forward
+    ``mask[src] * mask[dst]``; backward scatter-sums the cotangent to
+    **destination nodes only** (no product rule)."""
+
+    @staticmethod
+    def forward(ctx, mask, src, dst):
+        ctx.save_for_backward(dst)
+        ctx.n = mask.shape[0]
+        return mask[src] * mask[dst]
+
+    @staticmethod
+    def backward(ctx, g):
+        (dst,) = ctx.saved_tensors
+        gm = torch.zeros(ctx.n, *g.shape[1:], dtype=g.dtype).index_add(
+            0, dst, g)
+        return gm, None, None
+
+
+def _grads_to_flax(m):
+    """Map the torch model's parameter gradients into the flax param
+    layout by running the same (linear) convert_state_dict transforms
+    on the grad tensors; buffers ride along so key lookups succeed."""
+    sd = {}
+    for k, v in m.state_dict().items():
+        sd[k] = v.detach().numpy()
+    for k, p in m.named_parameters():
+        sd[k] = (p.grad if p.grad is not None
+                 else torch.zeros_like(p)).detach().numpy()
+    gparams, _ = convert_state_dict(sd)
+    return gparams
+
+
+def test_masked_gat_layer_grads_match_torch(golden):
+    """Gradient-level parity of one masked GAT layer (fixed gate):
+    d h, d instr, d gate (dst-only quirk) and every layer parameter
+    gradient vs torch autograd through the transcription."""
+    m, model, params, stats, batch, cfg = golden
+    from isubgvqa_tpu.ops.pallas.gat_kernel import gat_layer_reference
+
+    rng = np.random.default_rng(11)
+    bsz, n = batch.node_mask.shape
+    e = batch.edge_mask.shape[1]
+    h_in = rng.normal(size=(bsz, n, C)).astype(np.float32)
+    instr = rng.normal(size=(bsz, C)).astype(np.float32)
+    gate = (rng.uniform(size=(bsz, n, 1)) > 0.4).astype(np.float32)
+    e_feat = rng.normal(size=(bsz, e, C)).astype(np.float32)
+    w_out = rng.normal(size=(bsz, n, C)).astype(np.float32)
+    # padding rows would compare garbage-vs-absent: weight real rows
+    w_out = w_out * np.asarray(batch.node_mask)[..., None]
+
+    li = 0
+    conv_p = params["gat_seq"][f"conv{li}"]
+    hc = HEADS * C
+    lin_edge_all = np.asarray(params["gat_seq"]["lin_edge_all"]["kernel"])
+    we0 = lin_edge_all[:, li * hc:(li + 1) * hc]
+
+    leaves = {
+        "att": np.asarray(conv_p["att"]),
+        "wl": np.asarray(conv_p["lin_l_kernel"]),
+        "bl": np.asarray(conv_p["lin_l_bias"]),
+        "wr": np.asarray(conv_p["lin_r_kernel"]),
+        "br": np.asarray(conv_p["lin_r_bias"]),
+        "cbias": np.asarray(conv_p["bias"]),
+        "we": we0,
+        "w1": np.asarray(conv_p["x_proj_w1"]),
+        "b1": np.asarray(conv_p["x_proj_b1"]),
+        "w2": np.asarray(conv_p["x_proj_w2"]),
+        "b2": np.asarray(conv_p["x_proj_b2"]),
+        "gn_w": np.asarray(conv_p["gn_weight"]),
+        "gn_b": np.asarray(conv_p["gn_bias"]),
+        "gn_a": np.asarray(conv_p["gn_mean_scale"]),
+    }
+    leaves = {k: jnp.asarray(v) for k, v in leaves.items()}
+
+    def loss_j(h, ins, g, lv):
+        att = lv["att"]
+        attb = jnp.zeros((hc, HEADS), jnp.float32)
+        expand = jnp.zeros((HEADS, hc), jnp.float32)
+        for hh in range(HEADS):
+            attb = attb.at[hh * C:(hh + 1) * C, hh].set(att[hh])
+            expand = expand.at[hh, hh * C:(hh + 1) * C].set(1.0)
+        kparams = dict(lv, attb=attb, expand=expand)
+        xf = jax.nn.gelu(h * ins[:, None, :], approximate=False)
+        eproj = jnp.einsum("bec,ch->beh", jnp.asarray(e_feat), lv["we"])
+        out, alpha = gat_layer_reference(
+            h, xf, ins, g, batch.edge_src, batch.edge_dst,
+            batch.edge_mask, batch.node_mask, eproj, kparams)
+        return jnp.sum(out * w_out)
+
+    gj = jax.grad(loss_j, argnums=(0, 1, 2, 3))(
+        jnp.asarray(h_in), jnp.asarray(instr), jnp.asarray(gate), leaves)
+
+    # torch side: reference layer chain with the dst-only gate backward
+    conv_t = m.gat_seq.convs[li]
+    conv_t.zero_grad()
+    m.gat_seq.x_proj[li].zero_grad()
+    m.gat_seq.bns[li].zero_grad()
+    we_t = torch.tensor(np.asarray(we0), requires_grad=True)
+    h_grads, i_grads, g_grads = [], [], []
+    total = None
+    for s in range(2):
+        nv = np.asarray(batch.node_mask[s])
+        ev = np.asarray(batch.edge_mask[s])
+        nt = int(nv.sum())
+        src = torch.tensor(np.asarray(batch.edge_src[s])[ev],
+                           dtype=torch.long)
+        dst = torch.tensor(np.asarray(batch.edge_dst[s])[ev],
+                           dtype=torch.long)
+        bvec = torch.zeros(nt, dtype=torch.long)
+        h_t = torch.tensor(h_in[s, :nt], requires_grad=True)
+        i_t = torch.tensor(instr[s:s + 1], requires_grad=True)
+        g_t = torch.tensor(gate[s, :nt], requires_grad=True)
+        e_t = torch.tensor(e_feat[s][ev])
+
+        H = conv_t.heads
+        x = torch.nn.functional.gelu(h_t * i_t[bvec])
+        emask = NodeMaskToEdgeMaskFn.apply(g_t, src, dst)
+        x_l = conv_t.lin_l(x).view(-1, H, C)
+        x_r = conv_t.lin_r(x).view(-1, H, C)
+        mm = x_l[src] + x_r[dst] + (e_t @ we_t).view(-1, H, C)
+        mm = mm * emask.unsqueeze(-1)
+        mm = torch.nn.functional.leaky_relu(mm, 0.2)
+        mm = mm * emask.unsqueeze(-1)
+        alpha = (mm * conv_t.att).sum(dim=-1)
+        alpha = segment_softmax(alpha, dst, nt)
+        w = alpha * emask
+        msg = x_l[src] * w.unsqueeze(-1)
+        out = scatter_add(msg, dst, nt).reshape(-1, H * C) + conv_t.bias
+        out = m.gat_seq.x_proj[li](out)
+        out = sdp_ref(i_t, out, out, bvec)
+        out = m.gat_seq.bns[li](out, bvec)
+        out = out + h_t
+        loss = (out * torch.tensor(w_out[s, :nt])).sum()
+        total = loss if total is None else total + loss
+        h_grads.append((h_t, nv))
+        i_grads.append(i_t)
+        g_grads.append((g_t, nv))
+    total.backward()
+
+    tol = dict(rtol=2e-3, atol=2e-3)
+    for s, (h_t, nv) in enumerate(h_grads):
+        np.testing.assert_allclose(np.asarray(gj[0][s])[nv],
+                                   h_t.grad.numpy(), **tol, err_msg="d_h")
+    for s, i_t in enumerate(i_grads):
+        np.testing.assert_allclose(np.asarray(gj[1][s]),
+                                   i_t.grad.numpy()[0], **tol,
+                                   err_msg="d_instr")
+    for s, (g_t, nv) in enumerate(g_grads):
+        np.testing.assert_allclose(np.asarray(gj[2][s])[nv],
+                                   g_t.grad.numpy(), **tol,
+                                   err_msg="d_gate (dst-only quirk)")
+    mapping = {
+        "att": conv_t.att.grad.numpy().reshape(HEADS, C),
+        "wl": conv_t.lin_l.weight.grad.numpy().T,
+        "bl": conv_t.lin_l.bias.grad.numpy(),
+        "wr": conv_t.lin_r.weight.grad.numpy().T,
+        "br": conv_t.lin_r.bias.grad.numpy(),
+        "cbias": conv_t.bias.grad.numpy(),
+        "we": we_t.grad.numpy(),
+        "w1": m.gat_seq.x_proj[li][0].weight.grad.numpy().T,
+        "b1": m.gat_seq.x_proj[li][0].bias.grad.numpy(),
+        "w2": m.gat_seq.x_proj[li][2].weight.grad.numpy().T,
+        "b2": m.gat_seq.x_proj[li][2].bias.grad.numpy(),
+        "gn_w": m.gat_seq.bns[li].weight.grad.numpy(),
+        "gn_b": m.gat_seq.bns[li].bias.grad.numpy(),
+        "gn_a": m.gat_seq.bns[li].mean_scale.grad.numpy(),
+    }
+    for k, gt in mapping.items():
+        scale = max(np.max(np.abs(gt)), 1e-6)
+        np.testing.assert_allclose(np.asarray(gj[3][k]), gt, rtol=2e-3,
+                                   atol=2e-4 * scale,
+                                   err_msg=f"param grad {k}")
+
+
+def test_full_model_grads_match_torch(golden):
+    """Gradient golden parity for the ENTIRE model: every flax
+    parameter leaf's gradient vs torch autograd (B=1 per sample,
+    summed), mapped through the same convert_state_dict transforms.
+    Covers question encoder/decoder, scene-graph encoder (embedding,
+    bbox MLP + BatchNorm scale/bias, MetaLayer, GraphNorm), all four
+    GAT layers, pooling and the fusion head — the training-path
+    parity surface (reference loss.backward(),
+    ``train_epoch.py:111-118``)."""
+    m, model, params, stats, batch, cfg = golden
+
+    rng = np.random.default_rng(13)
+    w = rng.normal(size=(2, cfg.num_answers)).astype(np.float32)
+
+    def loss_j(p):
+        out = model.apply({"params": p, "batch_stats": stats},
+                          batch, train=False,
+                          rngs={"sampler": jax.random.PRNGKey(0)})
+        return jnp.sum(out.logits * jnp.asarray(w))
+
+    gj = jax.grad(loss_j)(params)
+
+    m.zero_grad()
+    total = None
+    for s in range(2):
+        ids = torch.tensor(np.asarray(batch.qst_tokens[s:s + 1]),
+                           dtype=torch.long)
+        qmask = torch.tensor(np.asarray(batch.qst_mask[s:s + 1]),
+                             dtype=torch.long)
+        nt, bb, ei, et, sym, bvec = _ragged_from_batch(batch, s)
+        logits_t = m(ids, qmask, nt, bb, ei, et, sym, bvec)
+        loss = (logits_t * torch.tensor(w[s:s + 1])).sum()
+        total = loss if total is None else total + loss
+    total.backward()
+    gt = _grads_to_flax(m)
+
+    flat_j = dict(jax.tree_util.tree_flatten_with_path(gj)[0])
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(gt)[0])
+    assert set(map(jax.tree_util.keystr, flat_j)) == \
+        set(map(jax.tree_util.keystr, flat_t))
+    checked = 0
+    for path, g_jax in flat_j.items():
+        g_torch = flat_t[path]
+        name = jax.tree_util.keystr(path)
+        scale = float(np.max(np.abs(np.asarray(g_torch))))
+        # atol floor 2e-6: leaves whose true gradient is analytically
+        # zero (e.g. attention k-bias — softmax shift invariance) carry
+        # only uncorrelated fp32 roundoff (~1e-10) on both sides
+        np.testing.assert_allclose(
+            np.asarray(g_jax), np.asarray(g_torch), rtol=5e-3,
+            atol=max(5e-4 * scale, 2e-6),
+            err_msg=f"grad mismatch at {name}")
+        checked += 1
+    assert checked > 100, "expected the full parameter tree"
