@@ -268,9 +268,67 @@ def _prep(xf, gate, edge_mask, e_attr, params):
     )
 
 
+
+def _pick_pack(n: int, e: int) -> int:
+    """Graphs per backward/forward program.  One 32-node graph fills
+    only a quarter of the MXU's 128 rows (and K=32 on the incidence
+    contractions); packing G graphs block-diagonally lifts both toward
+    128 with no math change (the one-hot incidences realize the block
+    structure, and the conv has no cross-node-graph reduction — the
+    softmax is per destination node)."""
+    return max(min(128 // max(n, 1), 512 // max(e, 1), 8), 1)
+
+
+def _with_packing(call, pack, xf, gate, src, dst, edge_mask, e_attr,
+                  extra, params, negative_slope, interpret):
+    """Run ``call`` on G-graph-packed blocks; unpack per-graph outputs.
+
+    ``extra`` is () for the forward or (dconv, dalpha) for the
+    backward; ``call`` returns (per_graph_outputs..., rest...) where
+    the first ``len(unpack_shapes)`` outputs carry the packed leading
+    layout."""
+    b, n, c = xf.shape
+    e = src.shape[1]
+    g = pack if pack is not None else _pick_pack(n, e)
+    if g <= 1:
+        return call(xf, gate, src, dst, edge_mask, e_attr, *extra,
+                    params, negative_slope, interpret), b, 1
+    pad = (-b) % g
+
+    def padb(x):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    xf, gate, edge_mask, e_attr = map(padb, (xf, gate, edge_mask, e_attr))
+    src, dst = padb(src), padb(dst)
+    extra = tuple(padb(x) for x in extra)
+    bp = (b + pad) // g
+    offs = (jnp.arange(g, dtype=jnp.int32) * n)[None, :, None]
+    src_p = (src.reshape(bp, g, e).astype(jnp.int32) + offs).reshape(bp, g * e)
+    dst_p = (dst.reshape(bp, g, e).astype(jnp.int32) + offs).reshape(bp, g * e)
+    extra_p = tuple(x.reshape((bp, g * x.shape[1]) + x.shape[2:])
+                    for x in extra)
+    out = call(xf.reshape(bp, g * n, c), gate.reshape(bp, g * n, 1),
+               src_p, dst_p, edge_mask.reshape(bp, g * e),
+               e_attr.reshape(bp, g * e, e_attr.shape[2]), *extra_p,
+               params, negative_slope, interpret)
+    return out, b, g
+
+
+def _unpack(x, b, g, per: int):
+    """[Bp, G*per, ...] -> [B, per, ...]."""
+    if g <= 1:
+        return x
+    bp = x.shape[0]
+    return x.reshape((bp * g, per) + x.shape[2:])[:b]
+
+
 def _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr, params,
                         negative_slope, interpret):
-    b, n, c = xf.shape
+    b, n, c = xf.shape          # c may be 2C under concat_instr
+    ce = e_attr.shape[2]
     e = src.shape[1]
     hc = params["wl"].shape[1]
     nheads = params["attb"].shape[1]
@@ -286,17 +344,20 @@ def _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr, params,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
     conv, alpha = pl.pallas_call(
         functools.partial(_fwd_kernel, negative_slope=negative_slope),
         grid=(b,),
+        compiler_params=None if interpret else compiler_params,
         in_specs=[
             in2((n, c)), in2((n, 1)),
             in2((e, 1)), in2((e, 1)), in2((e, 1)),
-            in2((e, c)),
+            in2((e, ce)),
             bcast((c, hc)), bcast((1, hc)),
             bcast((c, hc)), bcast((1, hc)),
             bcast((hc, nheads)), bcast((nheads, hc)),
-            bcast((1, hc)), bcast((c, hc)),
+            bcast((1, hc)), bcast((ce, hc)),
         ],
         out_specs=(
             pl.BlockSpec((None, n, hc), lambda i: (i, 0, 0),
@@ -319,9 +380,10 @@ def _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr, params,
     return conv, alpha
 
 
-def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr, params,
-                        dconv, dalpha, negative_slope, interpret):
-    b, n, c = xf.shape
+def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr,
+                        dconv, dalpha, params, negative_slope, interpret):
+    b, n, c = xf.shape          # c may be 2C under concat_instr
+    ce = e_attr.shape[2]
     e = src.shape[1]
     hc = params["wl"].shape[1]
     nheads = params["attb"].shape[1]
@@ -343,16 +405,19 @@ def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr, params,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, negative_slope=negative_slope),
         grid=(b,),
+        compiler_params=None if interpret else compiler_params,
         in_specs=[
             in2((n, c)), in2((n, 1)),
             in2((e, 1)), in2((e, 1)), in2((e, 1)),
-            in2((e, c)),
+            in2((e, ce)),
             bcast((c, hc)), bcast((1, hc)),
             bcast((c, hc)), bcast((1, hc)),
-            bcast((hc, nheads)), bcast((nheads, hc)), bcast((c, hc)),
+            bcast((hc, nheads)), bcast((nheads, hc)), bcast((ce, hc)),
             in2((n, hc)), in2((e, nheads)),
         ],
         out_specs=(
@@ -360,16 +425,16 @@ def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr, params,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, e, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, e, ce), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             acc((c, hc)), acc((1, hc)), acc((c, hc)), acc((1, hc)),
             acc((hc, nheads)), acc((nheads, hc)), acc((1, hc)),
-            acc((c, hc)),
+            acc((ce, hc)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, c), f32),
             jax.ShapeDtypeStruct((b, n, 1), f32),
-            jax.ShapeDtypeStruct((b, e, c), f32),
+            jax.ShapeDtypeStruct((b, e, ce), f32),
             jax.ShapeDtypeStruct((c, hc), f32),
             jax.ShapeDtypeStruct((1, hc), f32),
             jax.ShapeDtypeStruct((c, hc), f32),
@@ -377,7 +442,7 @@ def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr, params,
             jax.ShapeDtypeStruct((hc, nheads), f32),
             jax.ShapeDtypeStruct((nheads, hc), f32),
             jax.ShapeDtypeStruct((1, hc), f32),
-            jax.ShapeDtypeStruct((c, hc), f32),
+            jax.ShapeDtypeStruct((ce, hc), f32),
         ),
         interpret=interpret,
     )(
@@ -395,9 +460,19 @@ def _gatconv_pallas_bwd(xf, gate, src, dst, edge_mask, e_attr, params,
     }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fwd_packed(xf, gate, src, dst, edge_mask, e_attr, params,
+                negative_slope, interpret, pack):
+    n, e = xf.shape[1], src.shape[1]
+    (conv, alpha), b, g = _with_packing(
+        _gatconv_pallas_fwd, pack, xf, gate, src, dst, edge_mask,
+        e_attr, (), {k: params[k] for k in _CONV_KEYS}, negative_slope,
+        interpret)
+    return _unpack(conv, b, g, n), _unpack(alpha, b, g, e)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_gatconv(xf, gate, src, dst, edge_mask, e_attr, params,
-                  negative_slope=0.2, interpret=False):
+                  negative_slope=0.2, interpret=False, pack=None):
     """Fused GATv2 conv with a Pallas backward.
 
     ``xf [B,N,C]``, ``gate [B,N,1]``, ``src/dst [B,E]`` int32,
@@ -408,28 +483,33 @@ def fused_gatconv(xf, gate, src, dst, edge_mask, e_attr, params,
     ``src/dst/edge_mask`` get float0.  Matches
     :func:`~.gat_kernel.gat_conv_reference`'s ``jax.grad`` to f32
     accuracy (pinned by ``tests/test_gat_train.py``).
+
+    ``pack``: graphs per grid program (block-diagonal incidences;
+    ``None`` = shape heuristic :func:`_pick_pack`).
     """
-    return _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr,
-                               {k: params[k] for k in _CONV_KEYS},
-                               negative_slope, interpret)
+    return _fwd_packed(xf, gate, src, dst, edge_mask, e_attr, params,
+                       negative_slope, interpret, pack)
 
 
 def _vjp_fwd(xf, gate, src, dst, edge_mask, e_attr, params,
-             negative_slope, interpret):
-    out = _gatconv_pallas_fwd(xf, gate, src, dst, edge_mask, e_attr,
-                              {k: params[k] for k in _CONV_KEYS},
-                              negative_slope, interpret)
+             negative_slope, interpret, pack):
+    out = _fwd_packed(xf, gate, src, dst, edge_mask, e_attr, params,
+                      negative_slope, interpret, pack)
     return out, (xf, gate, src, dst, edge_mask, e_attr, params)
 
 
-def _vjp_bwd(negative_slope, interpret, residuals, cts):
+def _vjp_bwd(negative_slope, interpret, pack, residuals, cts):
     xf, gate, src, dst, edge_mask, e_attr, params = residuals
     dconv, dalpha = cts
-    dxf, dgate, de, dparams = _gatconv_pallas_bwd(
-        xf, gate, src, dst, edge_mask, e_attr,
-        {k: params[k] for k in _CONV_KEYS},
-        dconv.astype(jnp.float32), dalpha.astype(jnp.float32),
-        negative_slope, interpret)
+    n, e = xf.shape[1], src.shape[1]
+    outs, b, g = _with_packing(
+        _gatconv_pallas_bwd, pack, xf, gate, src, dst, edge_mask, e_attr,
+        (dconv.astype(jnp.float32), dalpha.astype(jnp.float32)),
+        {k: params[k] for k in _CONV_KEYS}, negative_slope, interpret)
+    dxf, dgate, de, dparams = outs
+    dxf = _unpack(dxf, b, g, n)
+    dgate = _unpack(dgate, b, g, n)
+    de = _unpack(de, b, g, e)
     f0 = jax.dtypes.float0
     dparams_full = {k: dparams[k].astype(params[k].dtype)
                     for k in _CONV_KEYS}

@@ -193,6 +193,8 @@ def _metalayer_bwd_call(x, e_attr, src, dst, edge_mask, node_mask, params,
     outs = pl.pallas_call(
         _bwd_kernel,
         grid=(b,),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             in2((n, c)), in2((e, c)),
             in2((e, 1)), in2((e, 1)), in2((e, 1)), in2((n, 1)),

@@ -271,3 +271,35 @@ def test_model_train_grads_match_reference_path(monkeypatch, rng):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3,
             err_msg=jax.tree_util.keystr(path_r))
+
+
+def test_fused_gatconv_concat_width_grads(rng):
+    """concat_instr-width xf ([B,N,2C]) with C-wide edges: the
+    trainable conv's specs follow each width, gradients included."""
+    fa, _ = make_inputs(rng)
+    diff, static = _split_args(fa)
+    b, n, c = fa["xf"].shape
+    e = fa["e_attr"].shape[1]
+    hc = diff["params"]["wl"].shape[1]
+    h_ = diff["params"]["attb"].shape[1]
+    ins_b = np.broadcast_to(np.asarray(fa["instr"])[:, None, :], (b, n, c))
+    xf2 = jnp.asarray(np.concatenate([np.asarray(fa["xf"]), ins_b], -1))
+    params = dict(diff["params"],
+                  wl=jnp.asarray(rng.normal(size=(2 * c, hc)) * 0.2,
+                                 dtype=jnp.float32),
+                  wr=jnp.asarray(rng.normal(size=(2 * c, hc)) * 0.2,
+                                 dtype=jnp.float32))
+    wc = jnp.asarray(rng.normal(size=(b, n, hc)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(b, e, h_)).astype(np.float32))
+    g_fused = jax.grad(_fused_conv_loss(static, wc, wa), argnums=(0, 2, 3))(
+        xf2, diff["gate"], diff["e_attr"], params)
+    g_ref = jax.grad(_ref_conv_loss(static, wc, wa), argnums=(0, 2, 3))(
+        xf2, diff["gate"], diff["e_attr"], params)
+    np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]),
+                               rtol=5e-4, atol=5e-4)
+    for key in g_ref[2]:
+        np.testing.assert_allclose(
+            np.asarray(g_fused[2][key]), np.asarray(g_ref[2][key]),
+            rtol=5e-4, atol=5e-4, err_msg=f"params[{key}]")
