@@ -113,6 +113,7 @@ class ISubGVQA(nn.Module):
         # ---- scene graph encoding (isubgvqa.py:255-263)
         x_enc, e_enc = SceneGraphEncoder(
             sg_vocab_size=self.sg_vocab_size, hidden_dim=hid,
+            sg_emb_dim=hid,
             vocab_vectors=self.sg_vocab_vectors,
             bn_axis_name=self.bn_axis_name, use_pallas=cfg.use_pallas,
             dtype=dtype, name="scene_graph_encoder",

@@ -73,9 +73,14 @@ class SceneGraphEncoder(nn.Module):
         given, it replaces the vocab-embedding token-sum — the bbox
         branch, reduction, and MetaLayer still run on top of it.
         """
-        if self.vocab_vectors is not None:
+        use_vectors = (self.vocab_vectors is not None
+                       and self.vocab_vectors.shape[1] == self.sg_emb_dim)
+        if use_vectors:
             init = lambda *_: jnp.asarray(self.vocab_vectors, jnp.float32)
         else:
+            # vocab vectors (GloVe, 300-d) only apply at the matching
+            # embedding width; a non-default --general_hidden_dim falls
+            # back to seeded random init
             init = nn.initializers.normal(1.0)
         embed = nn.Embed(self.sg_vocab_size, self.sg_emb_dim,
                          embedding_init=init, dtype=self.dtype,

@@ -69,3 +69,13 @@ def test_non_topk_mask_is_hard(data):
     out = run(cfg, vocab, batch)
     vals = set(np.unique(np.asarray(out.node_mask)))
     assert vals <= {0.0, 1.0}
+
+
+def test_nondefault_hidden_dim_builds_and_runs(data):
+    """--general_hidden_dim other than 300 must work: sg_emb_dim now
+    tracks the hidden dim and 300-d GloVe vectors fall back to seeded
+    init when widths mismatch (previously a shape error)."""
+    vocab, batch = data
+    cfg = small_cfg(general_hidden_dim=64, text_emb_dim=128)
+    out = run(cfg, vocab, batch)
+    assert np.isfinite(np.asarray(out.logits)).all()

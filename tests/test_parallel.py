@@ -87,3 +87,67 @@ def test_aimle_state_updates_under_sharding(setup):
     st = s2.aimle_states[3]
     assert float(st.grad_norm) != 1.0   # EMA moved
     assert abs(float(st.beta)) <= 2e-4  # stepped from 0 by +-1e-4
+
+
+def test_bucketed_multidevice_step_parity():
+    """Multi-host-style bucketed iteration feeds the sharded step:
+    running the bucketed batch sequence (two jit specializations)
+    over the 8-device mesh matches the unsharded run exactly — the
+    configuration enabled by the global-schedule bucketing
+    (train/loop.py:_iter_split no longer gates on num_shards == 1)."""
+    from isubgvqa_tpu.data.batching import iterate_batches_bucketed
+
+    # small dims keep the 4 compiles (2 shapes x {plain, sharded})
+    # within CI budget; the full-size sharded parity is covered at one
+    # shape by test_sharded_step_matches_unsharded
+    cfg = dataclasses.replace(small_cfg(), batch_size=8,
+                              sampler_type="gumbel", sample_k=3,
+                              general_hidden_dim=32, text_emb_dim=64)
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(cfg.num_answers)
+    ds = SyntheticGQA(vocab, answers, size=48, seed=0)
+    tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size, max_len=12)
+    collators = {
+        8: Collator(tok, BucketSpec(8, max_nodes_per_graph=8,
+                                    max_edges_per_graph=48,
+                                    question_len=12), vocab=vocab),
+        32: Collator(tok, BucketSpec(8, max_nodes_per_graph=32,
+                                     max_edges_per_graph=128,
+                                     question_len=12), vocab=vocab),
+    }
+    all_batches = [b for b, _ in iterate_batches_bucketed(
+        ds, collators, shuffle=True, seed=3, drop_last=True)]
+    shapes = {b.node_tokens.shape for b in all_batches}
+    assert len(shapes) >= 2, "need mixed bucket shapes for the test"
+    # one batch per shape keeps the CPU-mesh runtime bounded while
+    # still exercising two jit specializations in one sharded run
+    batches, seen = [], set()
+    for b in all_batches:
+        if b.node_tokens.shape not in seen:
+            seen.add(b.node_tokens.shape)
+            batches.append(b)
+
+    model = build_model(cfg, vocab)
+    optimizer = make_optimizer(cfg.lr, steps_per_epoch=4)
+    state = create_train_state(model, optimizer, batches[0], cfg)
+    train_step = jax.jit(make_train_step(model, optimizer, cfg))
+    rng = jax.random.PRNGKey(0)
+
+    s_plain = state
+    losses_plain = []
+    for b in batches:
+        s_plain, m = train_step(s_plain, b, rng)
+        losses_plain.append(float(m["loss_sum"]))
+
+    mesh = make_mesh()
+    s_shard = replicate(state, mesh)
+    losses_shard = []
+    for b in batches:
+        s_shard, m = train_step(s_shard, shard_batch(b, mesh), rng)
+        losses_shard.append(float(m["loss_sum"]))
+
+    np.testing.assert_allclose(losses_plain, losses_shard, rtol=2e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_plain.params),
+                     jax.tree_util.tree_leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-5)
