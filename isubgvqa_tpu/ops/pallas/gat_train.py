@@ -270,12 +270,13 @@ def _prep(xf, gate, edge_mask, e_attr, params):
 
 
 def _pick_pack(n: int, e: int) -> int:
-    """Graphs per backward/forward program.  One 32-node graph fills
-    only a quarter of the MXU's 128 rows (and K=32 on the incidence
-    contractions); packing G graphs block-diagonally lifts both toward
-    128 with no math change (the one-hot incidences realize the block
-    structure, and the conv has no cross-node-graph reduction — the
-    softmax is per destination node)."""
+    """Heuristic graphs-per-program for ``pack="auto"``: lift the
+    per-program matmul M/K dims toward the MXU's 128 (one 32-node
+    graph fills a quarter of the rows).  Measured on this chip the
+    packed and unpacked train steps agree within tunnel noise — like
+    the inference kernel, the layer is not MXU-bound — so the default
+    is unpacked and the capability stays behind ``pack`` (exactness
+    pinned by ``tests/test_gat_train.py``)."""
     return max(min(128 // max(n, 1), 512 // max(e, 1), 8), 1)
 
 
@@ -289,7 +290,10 @@ def _with_packing(call, pack, xf, gate, src, dst, edge_mask, e_attr,
     layout."""
     b, n, c = xf.shape
     e = src.shape[1]
-    g = pack if pack is not None else _pick_pack(n, e)
+    if pack == "auto":
+        g = _pick_pack(n, e)
+    else:
+        g = pack if pack is not None else 1
     if g <= 1:
         return call(xf, gate, src, dst, edge_mask, e_attr, *extra,
                     params, negative_slope, interpret), b, 1
@@ -484,8 +488,9 @@ def fused_gatconv(xf, gate, src, dst, edge_mask, e_attr, params,
     :func:`~.gat_kernel.gat_conv_reference`'s ``jax.grad`` to f32
     accuracy (pinned by ``tests/test_gat_train.py``).
 
-    ``pack``: graphs per grid program (block-diagonal incidences;
-    ``None`` = shape heuristic :func:`_pick_pack`).
+    ``pack``: graphs per grid program (block-diagonal incidences) —
+    an int, ``"auto"`` for the shape heuristic :func:`_pick_pack`, or
+    ``None``/1 for unpacked (default; measured neutral on this chip).
     """
     return _fwd_packed(xf, gate, src, dst, edge_mask, e_attr, params,
                        negative_slope, interpret, pack)

@@ -303,3 +303,35 @@ def test_fused_gatconv_concat_width_grads(rng):
         np.testing.assert_allclose(
             np.asarray(g_fused[2][key]), np.asarray(g_ref[2][key]),
             rtol=5e-4, atol=5e-4, err_msg=f"params[{key}]")
+
+
+def test_fused_gatconv_packed_grads_match(rng):
+    """pack=3 (block-diagonal multi-graph programs) must stay
+    gradient-exact vs the reference — the packing wrapper is a pure
+    layout transformation."""
+    fa, _ = make_inputs(rng, b=5)
+    diff, static = _split_args(fa)
+    b, e, _ = fa["e_attr"].shape
+    n = fa["xf"].shape[1]
+    hc = diff["params"]["wl"].shape[1]
+    h = diff["params"]["attb"].shape[1]
+    wc = jnp.asarray(rng.normal(size=(b, n, hc)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(b, e, h)).astype(np.float32))
+
+    def loss_packed(xf, gate, e_attr, params):
+        conv, alpha = fused_gatconv(xf, gate, static["src"], static["dst"],
+                                    static["edge_mask"], e_attr, params,
+                                    0.2, True, 3)
+        return jnp.sum(conv * wc) + jnp.sum(alpha * wa)
+
+    g_packed = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(
+        diff["xf"], diff["gate"], diff["e_attr"], diff["params"])
+    g_ref = jax.grad(_ref_conv_loss(static, wc, wa), argnums=(0, 1, 2, 3))(
+        diff["xf"], diff["gate"], diff["e_attr"], diff["params"])
+    for gk, gr in zip(g_packed[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4)
+    for key in g_ref[3]:
+        np.testing.assert_allclose(
+            np.asarray(g_packed[3][key]), np.asarray(g_ref[3][key]),
+            rtol=5e-4, atol=5e-4, err_msg=f"params[{key}]")

@@ -137,9 +137,9 @@ def test_profile_dir_produces_trace(tmp_path):
 
     prof_dir = tmp_path / "trace"
     cfg = dataclasses.replace(
-        small_cfg(), synthetic=True, synthetic_size=8, meta_dir="",
-        batch_size=4, epochs=1, output_dir=str(tmp_path / "out"),
-        profile_dir=str(prof_dir))
+        small_cfg(), synthetic=True, synthetic_size=16, meta_dir="",
+        batch_size=8, epochs=1, output_dir=str(tmp_path / "out"),
+        profile_dir=str(prof_dir))   # batch divisible by the 8-dev mesh
     data = build_datasets(cfg)
     cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
     model = build_model(cfg, data.vocab)
