@@ -282,12 +282,11 @@ def _pick_pack(n: int, e: int) -> int:
 
 def _with_packing(call, pack, xf, gate, src, dst, edge_mask, e_attr,
                   extra, params, negative_slope, interpret):
-    """Run ``call`` on G-graph-packed blocks; unpack per-graph outputs.
+    """Run ``call`` on G-graph-packed blocks.
 
     ``extra`` is () for the forward or (dconv, dalpha) for the
-    backward; ``call`` returns (per_graph_outputs..., rest...) where
-    the first ``len(unpack_shapes)`` outputs carry the packed leading
-    layout."""
+    backward.  Returns ``(call's outputs, original batch, G)``; the
+    caller unpacks the per-graph outputs with :func:`_unpack`."""
     b, n, c = xf.shape
     e = src.shape[1]
     if pack == "auto":
