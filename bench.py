@@ -338,9 +338,10 @@ def _write_details(rows, train_rows, args):
         "synthetic size mix (`shape_mix=\"gqa\"`), bf16 compute, one "
         "chip.  Every bucket is timed on its own stream of distinct "
         "batches; the blended number weights buckets by their share of "
-        "the sample mix.  MFU is exact (XLA cost analysis + analytic "
-        f"Pallas-kernel FLOPs) against the measured "
-        f"~{PRACTICAL_PEAK_TFLOPS:.0f} TFLOP/s practical peak.",
+        "the sample mix.  Implementation FLOPs are exact (XLA cost "
+        "analysis + analytic Pallas-kernel models, validated within 1% "
+        "of the op-by-op path); MFU is against the nominal v5e bf16 "
+        f"peak of {NOMINAL_PEAK_TFLOPS:.0f} TFLOP/s.",
         "",
         "## Inference (eval forward + subgraph extraction)",
         "",
