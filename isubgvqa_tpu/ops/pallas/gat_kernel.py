@@ -22,7 +22,9 @@ VMEM budget per program at (N=64, E=192, C=300, H=4, bf16 ship):
 x/h 2×40 KB in, edges [E, C] 115 KB in, messages (f32 [E, H·C]
 intermediates incl. the in-kernel eproj) ~4×920 KB, one-hots 2×25 KB,
 weights (lin_l/lin_r 1.4 MB ×2 f32, x_proj 3.6 MB f32, we 720 KB) —
-≈ 11 MB < 16 MB; the proven ceiling is (N=128, E=384).
+≈ 11 MB.  The (N=128, E=384) bucket peaks at ~16.1 MB, just over the
+compiler's default 16 MB *scoped* VMEM limit (a compiler cap, not the
+hardware), so the pallas_call raises ``vmem_limit_bytes``.
 """
 
 from __future__ import annotations
@@ -282,7 +284,8 @@ def fused_gat_layer(
         dst_p = (dst.reshape(bp, pack, e).astype(jnp.int32)
                  + offs).reshape(bp, pack * e)
         out, alpha = _fused_gat_call(
-            h.reshape(bp, pack * n, c), xf.reshape(bp, pack * n, c),
+            h.reshape(bp, pack * n, c),
+            xf.reshape(bp, pack * n, xf.shape[-1]),
             instr.reshape(bp, pack, c), gate.reshape(bp, pack * n, 1),
             src_p, dst_p, edge_mask.reshape(bp, pack * e),
             node_mask.reshape(bp, pack * n),

@@ -233,3 +233,31 @@ def test_analytic_flops_model_pinned():
     assert fused_gat_layer_flops(32, 256) > fused_gat_layer_flops(32, 128)
     assert fused_gat_layer_flops(128, 128) > fused_gat_layer_flops(32, 128)
     assert metalayer_kernel_flops(128, 384) > metalayer_kernel_flops(32, 128)
+
+
+def test_pack_with_wide_xf(rng):
+    """concat_instr makes xf [B, N, 2C] while h stays [B, N, C]
+    (mgat_v2_conv.py:154-155); the pack path must reshape xf by its
+    own width, and the packed kernel must match unpacked + reference."""
+    fa, ra = make_inputs(rng, b=4, n=16, e=40)
+    c = fa["h"].shape[-1]
+    hc = fa["params"]["wl"].shape[1]
+    r2 = np.random.default_rng(7)
+    wl2 = (r2.normal(size=(2 * c, hc)) * 0.2).astype(np.float32)
+    wr2 = (r2.normal(size=(2 * c, hc)) * 0.2).astype(np.float32)
+    xf_wide = jnp.concatenate([fa["xf"], fa["h"]], axis=-1)
+    fa = dict(fa, xf=xf_wide,
+              params={**fa["params"], "wl": jnp.array(wl2),
+                      "wr": jnp.array(wr2)})
+    ra = dict(ra, xf=xf_wide,
+              params={**ra["params"], "wl": jnp.array(wl2),
+                      "wr": jnp.array(wr2)})
+    out_1, alpha_1 = fused_gat_layer(**fa, interpret=True, pack=1)
+    out_p, alpha_p = fused_gat_layer(**fa, interpret=True, pack=2)
+    out_r, alpha_r = gat_layer_reference(**ra)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_r),
+                               rtol=2e-4, atol=2e-5)
