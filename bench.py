@@ -69,7 +69,7 @@ def _cfg(sampler: str, batch_size: int, dtype: str):
         question_len=32,
         max_nodes_per_graph=128,
         max_edges_per_graph=384,
-        bucket_node_caps=(32, 128),
+        bucket_node_caps=(16, 32, 128),
     )
 
 
@@ -262,7 +262,11 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
 
-    step = jax.jit(make_train_step(model, optimizer, cfg))
+    # donate the state exactly as the Trainer does (train/loop.py:62-64,
+    # cfg.donate_state default): without donation XLA keeps a second
+    # copy of params+Adam state alive per step
+    step = jax.jit(make_train_step(model, optimizer, cfg),
+                   donate_argnums=0)
     rng = jax.random.PRNGKey(0)
 
     blended_t_q = 0.0

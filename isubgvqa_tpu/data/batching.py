@@ -215,6 +215,7 @@ def iterate_batches_bucketed(
     drop_last: bool = False,
     shard_index: int = 0,
     num_shards: int = 1,
+    pad_shards: bool = True,
 ) -> Iterator[tuple[GraphBatch, BatchMeta]]:
     """Size-bucketed iteration: each sample goes to the smallest bucket
     whose node, edge, *and* question-length caps fit it, so small
@@ -241,6 +242,12 @@ def iterate_batches_bucketed(
     batch-shape sequences and equal step counts — safe for lock-step
     steps that carry cross-host collectives.  Pinned by
     ``tests/test_bucketed_batching.py::test_sharded_bucketing_lockstep``.
+
+    ``pad_shards=False`` skips the wrap-pad: shards then partition the
+    dataset *exactly* (no duplicated tail chunks) at the cost of
+    unequal per-host step counts.  Use for metrics-only eval loops with
+    no per-step collectives (the explain runner), where duplicate
+    samples would skew sums; lock-step training must keep the default.
     """
     def norm_key(k):
         # bare int keys carry no question-length constraint: order them
@@ -256,8 +263,10 @@ def iterate_batches_bucketed(
         np.random.default_rng(seed).shuffle(idx)
 
     # every collator shares one tokenizer, so the (BPE) token count is
-    # computed once per sample; with num_shards > 1 only the shard's
-    # own chunks are fetched/collated — routing needs just the sizes
+    # computed once per sample.  Routing fetches every sample on every
+    # host (sizes are only known after a fetch); with num_shards > 1
+    # each host then *collates* only its own chunk per round.  Datasets
+    # are in-memory at GQA scale, so the duplicate fetch is cheap.
     per_bucket: dict = {c: [] for c in caps}
     for j in idx:
         sample = dataset[int(j)]
@@ -293,14 +302,16 @@ def iterate_batches_bucketed(
             chunks.append(rem)
         if not chunks:
             continue
-        pad = (-len(chunks)) % num_shards
-        chunks += [chunks[i % len(chunks)] for i in range(pad)]  # wrap-pad
+        if pad_shards:
+            pad = (-len(chunks)) % num_shards
+            chunks += [chunks[i % len(chunks)] for i in range(pad)]  # wrap
         for i in range(0, len(chunks), num_shards):
             rounds.append((cap, chunks[i:i + num_shards]))
     if shuffle:
         rng.shuffle(rounds)
     for cap, group in rounds:
-        yield collators[cap].collate(group[shard_index])
+        if shard_index < len(group):
+            yield collators[cap].collate(group[shard_index])
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:

@@ -107,9 +107,13 @@ def run_token_coo_exp(
         # not sample only the first bucket's small-graph batches, so
         # the bucket schedule is interleaved with a fixed seed — the
         # full run visits every batch either way.
+        # pad_shards=False: metrics-only loop with no per-step
+        # collectives — shards must partition the set exactly, or
+        # wrap-padded duplicate chunks would skew the reduced sums
         batches = iterate_batches_bucketed(
             ds, buckets, shuffle=max_batches is not None, seed=seed,
-            shard_index=shard_index, num_shards=num_shards)
+            shard_index=shard_index, num_shards=num_shards,
+            pad_shards=False)
     else:
         batches = iterate_batches(ds, data.collators[split],
                                   shard_index=shard_index,

@@ -65,7 +65,7 @@ def test_bucket_selection_respects_edge_cap():
 
 
 def test_build_datasets_bucket_collators_default_on():
-    """Config default wires (32, max)x(16, max) buckets into the
+    """Config default wires (16, 32, max)x(16, max) buckets into the
     bundle; small buckets get the 4x-nodes edge budget."""
     from isubgvqa_tpu.config import Config
     from isubgvqa_tpu.data.build import build_datasets
@@ -76,8 +76,10 @@ def test_build_datasets_bucket_collators_default_on():
     bundle = build_datasets(cfg)
     for split in ("train", "dev", "testdev"):
         caps = sorted(bundle.bucket_collators[split])
-        assert caps == [(32, 16), (32, 24), (128, 16), (128, 24)]
+        assert caps == [(16, 16), (16, 24), (32, 16), (32, 24),
+                        (128, 16), (128, 24)]
         colls = bundle.bucket_collators[split]
+        assert colls[(16, 16)].spec.max_edges_per_graph == 64
         assert colls[(32, 16)].spec.max_edges_per_graph == 128
         assert colls[(128, 24)].spec.max_edges_per_graph == 384
         assert colls[(32, 16)].spec.question_len == 16
@@ -274,3 +276,31 @@ def test_sharded_bucketing_matches_unsharded_coverage():
         counts.append(n)
     assert len(set(counts)) == 1
     assert len(qids) == 24
+
+
+def test_pad_shards_false_partitions_exactly():
+    """pad_shards=False (the explain runner's metrics mode) must
+    partition the dataset exactly across shards: every sample appears
+    exactly once in the union, none twice — even when a bucket's chunk
+    count is odd (where the lock-step default would wrap-pad a
+    duplicate chunk)."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=41, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    collators = {
+        8: Collator(tok, BucketSpec(4, max_nodes_per_graph=8,
+                                    max_edges_per_graph=48,
+                                    question_len=12), vocab=vocab),
+        32: Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                     max_edges_per_graph=160,
+                                     question_len=12), vocab=vocab),
+    }
+    seen = []
+    for shard in range(2):
+        for batch, meta in iterate_batches_bucketed(
+                ds, collators, shuffle=True, seed=5,
+                shard_index=shard, num_shards=2, pad_shards=False):
+            seen.extend(meta.question_ids[:meta.num_real])
+    assert len(seen) == 41, "no duplicates, no drops"
+    assert len(set(seen)) == 41
