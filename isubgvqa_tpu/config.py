@@ -61,7 +61,7 @@ class Config:
     # batches compile/run at the small shapes instead of paying the
     # full cap's padding (PyG ragged-batching parity, gqa.py:260).
     # Empty tuple disables bucketing.
-    bucket_node_caps: Tuple[int, ...] = (16, 32, 128)
+    bucket_node_caps: Tuple[int, ...] = (16, 32, 64, 128)
     # question-length caps crossed with the node caps.  GQA questions
     # are 7-20 CLIP tokens; padding every batch to question_len wastes
     # more than half the question-transformer FLOPs (which dominate

@@ -65,8 +65,8 @@ def test_bucket_selection_respects_edge_cap():
 
 
 def test_build_datasets_bucket_collators_default_on():
-    """Config default wires (16, 32, max)x(16, max) buckets into the
-    bundle; small buckets get the 4x-nodes edge budget."""
+    """Config default wires (16, 32, 64, max)x(16, max) buckets into
+    the bundle; small buckets get the 4x-nodes edge budget."""
     from isubgvqa_tpu.config import Config
     from isubgvqa_tpu.data.build import build_datasets
 
@@ -77,9 +77,10 @@ def test_build_datasets_bucket_collators_default_on():
     for split in ("train", "dev", "testdev"):
         caps = sorted(bundle.bucket_collators[split])
         assert caps == [(16, 16), (16, 24), (32, 16), (32, 24),
-                        (128, 16), (128, 24)]
+                        (64, 16), (64, 24), (128, 16), (128, 24)]
         colls = bundle.bucket_collators[split]
         assert colls[(16, 16)].spec.max_edges_per_graph == 64
+        assert colls[(64, 16)].spec.max_edges_per_graph == 256
         assert colls[(32, 16)].spec.max_edges_per_graph == 128
         assert colls[(128, 24)].spec.max_edges_per_graph == 384
         assert colls[(32, 16)].spec.question_len == 16
