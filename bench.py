@@ -59,7 +59,7 @@ NOMINAL_PEAK_TFLOPS = 197.0
 
 
 def _cfg(sampler: str, batch_size: int, dtype: str,
-         node_caps=(16, 32, 64, 128)):
+         node_caps=(16, 32, 64, 128), kernel_pack=None):
     from isubgvqa_tpu.config import Config
 
     return Config(
@@ -71,6 +71,7 @@ def _cfg(sampler: str, batch_size: int, dtype: str,
         max_nodes_per_graph=128,
         max_edges_per_graph=384,
         bucket_node_caps=tuple(node_caps),
+        kernel_pack=kernel_pack,
     )
 
 
@@ -192,9 +193,9 @@ def _time_stream(run_one, batches) -> float:
 
 def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
                     iters: int = 12, dtype: str = "bfloat16",
-                    node_caps=(16, 32, 64, 128)):
+                    node_caps=(16, 32, 64, 128), kernel_pack=None):
     """-> dict with blended qps/chip, per-bucket breakdown, exact MFU."""
-    cfg = _cfg(sampler, batch_size, dtype, node_caps)
+    cfg = _cfg(sampler, batch_size, dtype, node_caps, kernel_pack)
     (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
      aimle_states) = build_bench_setup(cfg, iters)
     dev = jax.devices()[0]
@@ -315,10 +316,14 @@ def main():
     ap.add_argument("--node-caps", type=int, nargs="+",
                     default=[16, 32, 64, 128],
                     help="bucket node caps to measure (experimentation)")
+    ap.add_argument("--pack", type=int, default=None,
+                    help="graphs per fused-GAT grid program "
+                         "(cfg.kernel_pack; experimentation)")
     args = ap.parse_args()
 
     head = bench_inference("gumbel", args.batch_size, args.iters,
-                           node_caps=tuple(args.node_caps))
+                           node_caps=tuple(args.node_caps),
+                           kernel_pack=args.pack)
     result = {
         "metric": "GQA questions/sec/chip (batched inference, ISubGVQA "
                   "forward + discrete subgraph extraction, GQA-realistic "

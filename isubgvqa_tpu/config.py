@@ -104,6 +104,10 @@ class Config:
     model_axis: str = "model"               # reserved for TP
     num_data_shards: Optional[int] = None   # default: all local devices
     use_pallas: bool = True                 # enable Pallas fused kernels where available
+    # graphs per fused-GAT grid program at inference (None = 1).  The
+    # kernel clamps to its VMEM caps (128 nodes / 384 edges per
+    # program); exactness pinned by test_graph_packing_is_exact.
+    kernel_pack: Optional[int] = None
     donate_state: bool = True
 
     def scaled(self) -> "Config":

@@ -133,7 +133,7 @@ class ISubGVQA(nn.Module):
             sampler_type=cfg.sampler_type,
             sample_k=cfg.sample_k, nb_samples=cfg.nb_samples, alpha=cfg.alpha,
             beta=cfg.beta, tau=cfg.tau, use_pallas=cfg.use_pallas,
-            dtype=dtype, name="gat_seq",
+            pack=cfg.kernel_pack, dtype=dtype, name="gat_seq",
         )(x_enc, batch, e_enc, instr, lang, train=train,
           aimle_states=aimle_states, explainer=explainer,
           explainer_stage=explainer_stage,

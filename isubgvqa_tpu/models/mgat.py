@@ -103,6 +103,9 @@ class MGATLayer(nn.Module):
     beta: float = 10.0
     tau: float = 1.0
     use_pallas: bool = True
+    # graphs per fused-kernel grid program at inference (None = 1);
+    # the kernel clamps to its per-program VMEM caps
+    pack: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
     def _params(self):
@@ -211,6 +214,7 @@ class MGATLayer(nn.Module):
                 negative_slope=self.negative_slope,
                 apply_mask_to_h=apply_mask,
                 fuse_instr=fuse_instr,
+                pack=self.pack,
             )
         elif run_fused_train:
             out, alpha = fused_gat_layer_train(
@@ -259,6 +263,7 @@ class MGAT(nn.Module):
     beta: float = 10.0
     tau: float = 1.0
     use_pallas: bool = True
+    pack: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -326,8 +331,8 @@ class MGAT(nn.Module):
                                     and not self.use_global_mask),
                 sampler_type=self.sampler_type, sample_k=self.sample_k,
                 nb_samples=self.nb_samples, alpha=self.alpha, beta=self.beta,
-                tau=self.tau, use_pallas=self.use_pallas, dtype=self.dtype,
-                name=f"conv{i}",
+                tau=self.tau, use_pallas=self.use_pallas, pack=self.pack,
+                dtype=self.dtype, name=f"conv{i}",
             )(hcur, batch, edge_attr, ek[:, i * h * c:(i + 1) * h * c],
               ins, global_language_feats,
               all_instrs=instr_vectors, train=train, aimle_state=st)

@@ -261,3 +261,53 @@ def test_pack_with_wide_xf(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_r),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_pack_config_reaches_fused_layer(monkeypatch):
+    """cfg.kernel_pack plumbing: every MGAT layer passes the knob to
+    fused_gat_layer at inference.  The kernel itself is faked (the real
+    fused path is TPU-only; packed exactness is pinned above), and the
+    TPU gate is spoofed so run_fused turns on under the CPU tests."""
+    from isubgvqa_tpu.models import mgat as mgat_mod
+    from isubgvqa_tpu.models import scene_graph_encoder as sge_mod
+    from isubgvqa_tpu.ops.pallas.metalayer_kernel import metalayer_reference
+    from isubgvqa_tpu.models.build import build_model, init_model
+    from tests.test_model import (small_cfg, SceneGraphVocab, AnswerMap,
+                                  SyntheticGQA, BucketSpec, Collator,
+                                  HashWordTokenizer)
+
+    cfg = small_cfg(kernel_pack=3)
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(cfg.num_answers)
+    ds = SyntheticGQA(vocab, answers, size=4, seed=0)
+    spec = BucketSpec(batch_size=2,
+                      max_nodes_per_graph=cfg.max_nodes_per_graph,
+                      max_edges_per_graph=cfg.max_edges_per_graph,
+                      question_len=cfg.question_len)
+    tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
+                            max_len=cfg.question_len)
+    batch, _ = Collator(tok, spec, vocab=vocab).collate([ds[0], ds[1]])
+
+    model = build_model(cfg, vocab)
+    params, batch_stats = init_model(model, batch)
+
+    seen_packs = []
+
+    def fake_fused(*, h, xf, instr, gate, src, dst, edge_mask, node_mask,
+                   e_attr, params, negative_slope, apply_mask_to_h,
+                   fuse_instr, pack=None):
+        seen_packs.append(pack)
+        b, n, _ = h.shape
+        c = params["gn_w"].shape[0]
+        nheads = params["attb"].shape[1]
+        return (jnp.zeros((b, n, c), h.dtype),
+                jnp.zeros((b, src.shape[1], nheads), jnp.float32))
+
+    monkeypatch.setattr(mgat_mod, "fused_gat_layer", fake_fused)
+    # the backend spoof below is global: keep the scene-graph encoder
+    # off the (TPU-only) fused MetaLayer kernel
+    monkeypatch.setattr(sge_mod, "fused_metalayer", metalayer_reference)
+    monkeypatch.setattr(mgat_mod.jax, "default_backend", lambda: "tpu")
+    model.apply({"params": params, "batch_stats": batch_stats},
+                batch, train=False, rngs={"sampler": jax.random.PRNGKey(0)})
+    assert seen_packs == [3, 3, 3, 3], seen_packs
