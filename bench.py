@@ -249,14 +249,14 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
 
 
 def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
-                     dtype: str = "bfloat16"):
+                     dtype: str = "bfloat16", train_pack=None):
     """Jitted full training step (fwd + bwd + Adam) throughput,
     mix-blended over buckets like inference."""
     from isubgvqa_tpu.train.schedule import make_optimizer
     from isubgvqa_tpu.train.state import create_train_state
     from isubgvqa_tpu.train.steps import make_train_step
 
-    cfg = _cfg(sampler, batch_size, dtype)
+    cfg = _cfg(sampler, batch_size, dtype, kernel_pack=train_pack)
     (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
      _) = build_bench_setup(cfg, iters)
     optimizer = make_optimizer(cfg.lr, steps_per_epoch=8)
@@ -319,6 +319,13 @@ def main():
     ap.add_argument("--pack", type=int, default=None,
                     help="graphs per fused-GAT grid program "
                          "(cfg.kernel_pack; experimentation)")
+    ap.add_argument("--train-pack", type=int, default=None,
+                    help="kernel_pack for the --full training-step "
+                         "benches (experimentation)")
+    ap.add_argument("--train-batch", type=int, default=256,
+                    help="training-step batch size (default = the "
+                         "reference's bs 256; raise to measure the "
+                         "saturated step)")
     args = ap.parse_args()
 
     head = bench_inference("gumbel", args.batch_size, args.iters,
@@ -342,7 +349,8 @@ def main():
                                         args.iters))
             print(json.dumps(_round_tree(rows[-1])), file=sys.stderr)
         for sampler in ("gumbel", "imle", "aimle", "simple"):
-            train_rows.append(bench_train_step(sampler))
+            train_rows.append(bench_train_step(sampler, args.train_batch,
+                                               train_pack=args.train_pack))
             print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
         _write_details(rows, train_rows, args)
 
@@ -353,7 +361,8 @@ def _write_details(rows, train_rows, args):
     lines = [
         "# Benchmark surface (last `bench.py --full` run)",
         "",
-        f"Batch {args.batch_size} (train 256), GQA-realistic heavy-tailed "
+        f"Batch {args.batch_size} (train {args.train_batch}), "
+        "GQA-realistic heavy-tailed "
         "synthetic size mix (`shape_mix=\"gqa\"`), bf16 compute, one "
         "chip.  Every bucket is timed on its own stream of distinct "
         "batches; the blended number weights buckets by their share of "
@@ -385,8 +394,8 @@ def _write_details(rows, train_rows, args):
                      f"{d['qps']} q/s, weight {d['weight']}")
     lines += [
         "",
-        "## Training step (forward + backward + Adam, batch 256, "
-        "fused Pallas conv custom-VJP path)",
+        f"## Training step (forward + backward + Adam, batch "
+        f"{args.train_batch}, fused Pallas conv custom-VJP path)",
         "",
         "| sampler | questions/s/chip | ms/step |",
         "|---|---|---|",

@@ -104,9 +104,11 @@ class Config:
     model_axis: str = "model"               # reserved for TP
     num_data_shards: Optional[int] = None   # default: all local devices
     use_pallas: bool = True                 # enable Pallas fused kernels where available
-    # graphs per fused-GAT grid program at inference (None = 1).  The
-    # kernel clamps to its VMEM caps (128 nodes / 384 edges per
-    # program); exactness pinned by test_graph_packing_is_exact.
+    # graphs per fused-GAT grid program (None = 1), applied to both the
+    # inference kernel and the trainable conv.  Each kernel clamps the
+    # knob to its per-program VMEM caps (128 nodes / 384-512 edges), so
+    # any int is shape-safe; exactness pinned by
+    # test_graph_packing_is_exact / test_fused_gatconv_packed_grads_match.
     kernel_pack: Optional[int] = None
     donate_state: bool = True
 

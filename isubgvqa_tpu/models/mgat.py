@@ -103,8 +103,9 @@ class MGATLayer(nn.Module):
     beta: float = 10.0
     tau: float = 1.0
     use_pallas: bool = True
-    # graphs per fused-kernel grid program at inference (None = 1);
-    # the kernel clamps to its per-program VMEM caps
+    # graphs per fused-kernel grid program (None = 1), for both the
+    # inference kernel and the trainable conv; each kernel clamps the
+    # knob to its per-program VMEM caps
     pack: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -225,6 +226,7 @@ class MGATLayer(nn.Module):
                 negative_slope=self.negative_slope,
                 apply_mask_to_h=apply_mask,
                 interpret=gat_train.FORCE_INTERPRET,
+                pack=self.pack,
             )
         else:
             dt = self.dtype or edge_attr.dtype

@@ -293,6 +293,10 @@ def _with_packing(call, pack, xf, gate, src, dst, edge_mask, e_attr,
         g = _pick_pack(n, e)
     else:
         g = pack if pack is not None else 1
+        # clamp explicit ints to the per-program caps exactly like the
+        # inference kernel (gat_kernel.py:fused_gat_layer), so one
+        # config knob (cfg.kernel_pack) is safe for every bucket shape
+        g = max(min(g, 128 // max(n, 1), 512 // max(e, 1)), 1)
     if g <= 1:
         return call(xf, gate, src, dst, edge_mask, e_attr, *extra,
                     params, negative_slope, interpret), b, 1
@@ -538,14 +542,16 @@ fused_gatconv.defvjp(_vjp_fwd, _vjp_bwd)
 
 def fused_gat_layer_train(h, xf, instr, gate, src, dst, edge_mask,
                           node_mask, e_attr, params, negative_slope=0.2,
-                          apply_mask_to_h=False, interpret=False):
+                          apply_mask_to_h=False, interpret=False,
+                          pack=None):
     """Differentiable fused MGAT layer: Pallas conv (custom VJP) + XLA
     head — drop-in for
     :func:`~.gat_kernel.gat_layer_reference` during training, sharing
     the same parameters.  Returns ``(out [B,N,C], alpha [B,E,H])``."""
     conv_params = {k: params[k] for k in _CONV_KEYS}
     conv, alpha = fused_gatconv(xf, gate, src, dst, edge_mask, e_attr,
-                                conv_params, negative_slope, interpret)
+                                conv_params, negative_slope, interpret,
+                                pack)
     out = gat_head_reference(h, conv, instr, gate, node_mask, params,
                              apply_mask_to_h=apply_mask_to_h)
     return out, alpha

@@ -335,3 +335,73 @@ def test_fused_gatconv_packed_grads_match(rng):
         np.testing.assert_allclose(
             np.asarray(g_packed[3][key]), np.asarray(g_ref[3][key]),
             rtol=5e-4, atol=5e-4, err_msg=f"params[{key}]")
+
+
+def test_fused_gatconv_oversized_pack_clamps(rng):
+    """An explicit int pack beyond the per-program caps (128 nodes /
+    512 edges) is clamped, not lowered as-is — one config knob
+    (cfg.kernel_pack) must be shape-safe for every bucket.  Forward
+    must stay exact vs the reference under the clamp."""
+    fa, ra = make_inputs(rng, b=5)
+    diff, static = _split_args(fa)
+    conv_k, alpha_k = fused_gatconv(diff["xf"], diff["gate"], static["src"],
+                                    static["dst"], static["edge_mask"],
+                                    diff["e_attr"], diff["params"],
+                                    0.2, True, 999)
+    conv_r, alpha_r = gat_conv_reference(
+        ra["xf"], ra["gate"], ra["src"], ra["dst"], ra["edge_mask"],
+        ra["eproj"], ra["params"])
+    np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(conv_k), np.asarray(conv_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_pack_config_reaches_train_path(monkeypatch):
+    """cfg.kernel_pack plumbing, training side: every MGAT layer passes
+    the knob through fused_gat_layer_train (the same knob drives the
+    inference kernel — see
+    test_gat_kernel.py:test_kernel_pack_config_reaches_fused_layer).
+    The layer itself is faked; packed gradient exactness is pinned by
+    test_fused_gatconv_packed_grads_match."""
+    from isubgvqa_tpu.models import mgat as mgat_mod
+    from isubgvqa_tpu.ops.pallas import gat_train
+    from isubgvqa_tpu.models.build import build_model, init_model
+    from tests.test_model import (small_cfg, SceneGraphVocab, AnswerMap,
+                                  SyntheticGQA, BucketSpec, Collator,
+                                  HashWordTokenizer)
+
+    cfg = small_cfg(kernel_pack=3)
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(cfg.num_answers)
+    ds = SyntheticGQA(vocab, answers, size=4, seed=0)
+    spec = BucketSpec(batch_size=2,
+                      max_nodes_per_graph=cfg.max_nodes_per_graph,
+                      max_edges_per_graph=cfg.max_edges_per_graph,
+                      question_len=cfg.question_len)
+    tok = HashWordTokenizer(vocab_size=cfg.text_vocab_size,
+                            max_len=cfg.question_len)
+    batch, _ = Collator(tok, spec, vocab=vocab).collate([ds[0], ds[1]])
+
+    model = build_model(cfg, vocab)
+    params, batch_stats = init_model(model, batch)
+
+    seen_packs = []
+
+    def fake_fused_train(h, xf, instr, gate, src, dst, edge_mask,
+                         node_mask, e_attr, params, negative_slope=0.2,
+                         apply_mask_to_h=False, interpret=False, pack=None):
+        seen_packs.append(pack)
+        b, n, _ = h.shape
+        c = params["gn_w"].shape[0]
+        nheads = params["attb"].shape[1]
+        return (jnp.zeros((b, n, c), jnp.float32),
+                jnp.zeros((b, src.shape[1], nheads), jnp.float32))
+
+    monkeypatch.setattr(gat_train, "FORCE_INTERPRET", True)
+    monkeypatch.setattr(mgat_mod, "fused_gat_layer_train", fake_fused_train)
+    model.apply({"params": params, "batch_stats": batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1),
+                      "sampler": jax.random.PRNGKey(2)})
+    assert seen_packs == [3, 3, 3, 3], seen_packs
