@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import hashlib
 import json
 import math
 import sys
@@ -75,6 +76,50 @@ def _cfg(sampler: str, batch_size: int, dtype: str,
     )
 
 
+def build_bucket_streams(ds, collators, batch_size: int,
+                         min_timed: int = 4):
+    """Per-bucket streams of pairwise-distinct full batches.
+
+    Routing uses THE rule the Trainer ships
+    (:func:`isubgvqa_tpu.data.batching.route_to_buckets` — shared
+    helper, so the bench cannot drift from the iterator's
+    distribution).  The tunnel dedups identical inputs, so every timed
+    batch must be pairwise-distinct: each batch draws a fresh random
+    composition/order (seeded per bucket — deterministic across runs)
+    with a redraw on the rare index-tuple collision.  A 1-member
+    bucket cannot produce distinct batches at all — it is timed anyway
+    but the timing code flags it (``distinct_inputs: false``) as a
+    dedup-cache artifact."""
+    from isubgvqa_tpu.data.batching import route_to_buckets
+
+    per_bucket = route_to_buckets(ds, collators)
+    b = batch_size
+    n_total = sum(len(m) for m in per_bucket.values())
+    bucket_batches, bucket_weight = {}, {}
+    for key, members in per_bucket.items():
+        if not members:
+            continue
+        bucket_weight[key] = len(members) / n_total
+        n_need = max(min_timed + 1, math.ceil(len(members) / b))
+        gen = np.random.default_rng(
+            [0xB37C4] + [int(v) for v in np.atleast_1d(key)])
+        batches, seen = [], set()
+        for i in range(n_need):
+            for _ in range(16):
+                if len(members) >= b:
+                    idx = gen.permutation(len(members))[:b]
+                else:
+                    idx = gen.integers(0, len(members), size=b)
+                t = tuple(idx.tolist())
+                if t not in seen or len(members) == 1:
+                    seen.add(t)
+                    break
+            batch, _ = collators[key].collate([ds[members[j]] for j in idx])
+            batches.append(batch)
+        bucket_batches[key] = batches
+    return bucket_batches, bucket_weight
+
+
 def build_bench_setup(cfg, num_batches: int = 12, min_timed: int = 4):
     """Model + per-bucket streams of distinct full batches.
 
@@ -97,42 +142,8 @@ def build_bench_setup(cfg, num_batches: int = 12, min_timed: int = 4):
     collators = build_bucket_collators(cfg, tok, vocab,
                                        batch_size=cfg.batch_size)
 
-    # route every sample to its bucket (the iterator's routing rule)
-    caps = sorted(collators.keys())
-    per_bucket = {k: [] for k in caps}
-    for i in range(len(ds)):
-        s = ds[i]
-        g = s.graph
-        n, e = g.num_nodes, g.edge_src.shape[0]
-        q = collators[caps[0]].tokenizer.count_tokens(s.question)
-        for key in caps:
-            spec = collators[key].spec
-            if (n <= spec.max_nodes_per_graph
-                    and e <= spec.max_edges_per_graph
-                    and q <= spec.question_len):
-                per_bucket[key].append(s)
-                break
-        else:
-            per_bucket[caps[-1]].append(s)
-
-    b = cfg.batch_size
-    bucket_batches, bucket_weight = {}, {}
-    for key, members in per_bucket.items():
-        if not members:
-            continue
-        bucket_weight[key] = len(members) / len(ds)
-        n_need = max(min_timed + 1, math.ceil(len(members) / b))
-        batches = []
-        for i in range(n_need):
-            # wrap around the member list: batches stay distinct (the
-            # tunnel dedups identical inputs) as long as composition
-            # or order differs
-            idx = [(i * b + j) % len(members) for j in range(b)]
-            if len(members) < b:
-                idx = [(i + j) % len(members) for j in range(b)]
-            batch, _ = collators[key].collate([members[j] for j in idx])
-            batches.append(batch)
-        bucket_batches[key] = batches
+    bucket_batches, bucket_weight = build_bucket_streams(
+        ds, collators, cfg.batch_size, min_timed)
 
     cfg = dataclasses.replace(cfg, num_answers=len(answers))
     model = build_model(cfg, vocab)
@@ -173,6 +184,39 @@ def _kernel_flops_per_batch(cfg, batch) -> float:
                  + masked_layers * fused_gat_layer_flops(n, e)
                  + metalayer_kernel_flops(n, e))
     return b * per_graph
+
+
+def _train_kernel_flops_per_batch(cfg, batch) -> float:
+    """Analytic FLOPs of the Pallas custom-VJP kernels in one training
+    step (forward + backward): 4 trainable GAT convs + 1 MetaLayer,
+    each a fused forward plus a recompute-structured fused backward.
+    These are *executed* FLOPs (the backward recomputes the forward in
+    VMEM), so train MFU reflects what the chip actually does."""
+    from isubgvqa_tpu.ops.pallas.gat_kernel import metalayer_kernel_flops
+    from isubgvqa_tpu.ops.pallas.gat_train import (fused_gatconv_bwd_flops,
+                                                   fused_gatconv_fwd_flops)
+    from isubgvqa_tpu.ops.pallas.metalayer_train import metalayer_bwd_flops
+    b, n = batch.node_tokens.shape[:2]
+    e = batch.edge_src.shape[1]
+    layers = len(cfg.mgat_masks)
+    per_graph = (layers * (fused_gatconv_fwd_flops(n, e)
+                           + fused_gatconv_bwd_flops(n, e))
+                 + metalayer_kernel_flops(n, e)
+                 + metalayer_bwd_flops(n, e))
+    return b * per_graph
+
+
+def _stream_is_distinct(batches) -> bool:
+    """True iff all timed batches are pairwise-distinct inputs (the
+    tunnel dedups identical executions — a non-distinct stream reads
+    impossibly fast and must be flagged, not blended silently)."""
+    digests = set()
+    for b in batches:
+        h = hashlib.sha1()
+        for arr in (b.node_tokens, b.qst_tokens, b.edge_src):
+            h.update(np.asarray(arr).tobytes())
+        digests.add(h.hexdigest())
+    return len(digests) == len(batches)
 
 
 def _time_stream(run_one, batches) -> float:
@@ -232,6 +276,8 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
             "weight": round(w, 4),
             "batches_timed": len(batches) - 1,
         }
+        if not _stream_is_distinct(bucket_batches[bkey][1:]):
+            per_bucket[str(bkey)]["distinct_inputs"] = False
 
     qps = 1.0 / blended_t_q
     n_chips = max(len(jax.devices()), 1)
@@ -249,14 +295,15 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
 
 
 def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
-                     dtype: str = "bfloat16", train_pack=None):
+                     dtype: str = "bfloat16", node_caps=(16, 32, 64, 128),
+                     train_pack=None):
     """Jitted full training step (fwd + bwd + Adam) throughput,
     mix-blended over buckets like inference."""
     from isubgvqa_tpu.train.schedule import make_optimizer
     from isubgvqa_tpu.train.state import create_train_state
     from isubgvqa_tpu.train.steps import make_train_step
 
-    cfg = _cfg(sampler, batch_size, dtype, kernel_pack=train_pack)
+    cfg = _cfg(sampler, batch_size, dtype, node_caps, train_pack)
     (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
      _) = build_bench_setup(cfg, iters)
     optimizer = make_optimizer(cfg.lr, steps_per_epoch=8)
@@ -271,8 +318,10 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     step = jax.jit(make_train_step(model, optimizer, cfg),
                    donate_argnums=0)
     rng = jax.random.PRNGKey(0)
+    on_tpu = jax.default_backend() == "tpu"
 
     blended_t_q = 0.0
+    blended_flops_q = 0.0
     per_bucket = {}
     state_box = {"s": state}
 
@@ -282,16 +331,26 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
 
     for bkey in sorted(bucket_batches):
         batches = jax.device_put(bucket_batches[bkey], dev)
+        xla_flops = _flops_per_exec(step, state_box["s"], batches[0], rng)
         ms = _time_stream(run_one, batches)
+        kflops = (_train_kernel_flops_per_batch(cfg, batches[0])
+                  if on_tpu else 0.0)
         w = bucket_weight[bkey]
         blended_t_q += w * (ms / 1e3) / batch_size
+        blended_flops_q += w * (xla_flops + kflops) / batch_size
         per_bucket[str(bkey)] = {"ms_per_step": round(ms, 2),
                                  "weight": round(w, 4)}
+        if not _stream_is_distinct(bucket_batches[bkey][1:]):
+            per_bucket[str(bkey)]["distinct_inputs"] = False
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
         "train_qps_per_chip": 1.0 / blended_t_q / n_chips,
         "ms_per_step": blended_t_q * batch_size * 1e3,
+        "flops_per_question": blended_flops_q,
+        "tflops_per_sec": blended_flops_q / blended_t_q / 1e12 / n_chips,
+        "mfu": (blended_flops_q / blended_t_q)
+               / (NOMINAL_PEAK_TFLOPS * 1e12 * n_chips),
         "per_bucket": per_bucket,
     }
 
@@ -346,10 +405,13 @@ def main():
         train_rows = []
         for sampler in ("imle", "aimle", "simple"):
             rows.append(bench_inference(sampler, args.batch_size,
-                                        args.iters))
+                                        args.iters,
+                                        node_caps=tuple(args.node_caps),
+                                        kernel_pack=args.pack))
             print(json.dumps(_round_tree(rows[-1])), file=sys.stderr)
         for sampler in ("gumbel", "imle", "aimle", "simple"):
             train_rows.append(bench_train_step(sampler, args.train_batch,
+                                               node_caps=tuple(args.node_caps),
                                                train_pack=args.train_pack))
             print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
         _write_details(rows, train_rows, args)
@@ -397,12 +459,19 @@ def _write_details(rows, train_rows, args):
         f"## Training step (forward + backward + Adam, batch "
         f"{args.train_batch}, fused Pallas conv custom-VJP path)",
         "",
-        "| sampler | questions/s/chip | ms/step |",
-        "|---|---|---|",
+        "Implementation FLOPs count the backward kernels' in-VMEM "
+        "recompute (executed FLOPs), XLA cost analysis + analytic "
+        "models of the 5 custom-VJP kernel pairs.",
+        "",
+        "| sampler | questions/s/chip | ms/step | TFLOP/s | MFU "
+        "| MFLOPs/question |",
+        "|---|---|---|---|---|---|",
     ]
     for r in train_rows:
         lines.append(f"| {r['sampler']} | {r['train_qps_per_chip']:.0f} "
-                     f"| {r['ms_per_step']:.1f} |")
+                     f"| {r['ms_per_step']:.1f} "
+                     f"| {r['tflops_per_sec']:.1f} | {r['mfu']*100:.1f}% "
+                     f"| {r['flops_per_question']/1e6:.0f} |")
     lines.append("")
     import os
 

@@ -180,6 +180,7 @@ def iterate_batches(
     drop_last: bool = False,
     shard_index: int = 0,
     num_shards: int = 1,
+    pad_shards: bool = True,
 ) -> Iterator[tuple[GraphBatch, BatchMeta]]:
     """Fixed-shape batch iterator with DistributedSampler-like sharding
     (reference ``datasets/build.py:44-53``): each data-parallel process
@@ -187,12 +188,17 @@ def iterate_batches(
     in ``DistributedSampler``, the index list is wrap-padded to a
     multiple of ``num_shards`` so every process sees the same number of
     samples — and therefore issues the same number of (collective-
-    bearing) steps in multi-host SPMD."""
+    bearing) steps in multi-host SPMD.
+
+    ``pad_shards=False`` skips the wrap-pad so shards partition the
+    dataset *exactly* (per-host sample counts may then differ by one) —
+    for metrics-only eval loops where a duplicated tail sample would
+    skew reduced sums; lock-step training keeps the default."""
     b = collator.spec.batch_size
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
-    if num_shards > 1:
+    if num_shards > 1 and pad_shards:
         pad = (-len(idx)) % num_shards
         if pad:
             idx = np.concatenate([idx, idx[:pad]])
@@ -205,6 +211,71 @@ def iterate_batches(
     if rem and not drop_last:
         chunk = idx[n_full * b:]
         yield collator.collate([dataset[int(j)] for j in chunk])
+
+
+def _norm_bucket_key(k):
+    # bare int keys carry no question-length constraint: order them
+    # after same-node-cap tuple keys (least specific last)
+    return k if isinstance(k, tuple) else (k, float("inf"))
+
+
+def route_to_buckets(dataset, collators: dict, idx=None) -> dict:
+    """Route sample indices to size buckets: each sample goes to the
+    smallest bucket whose node, edge, *and* question-length caps fit
+    it; the largest bucket is the truncating fallback.  Returns
+    ``{bucket key: [sample index, ...]}`` over ``idx`` (default: the
+    whole dataset, in order).
+
+    This is THE routing rule — :func:`iterate_batches_bucketed` and
+    ``bench.py`` both call it, so the benchmark always measures the
+    bucket distribution the Trainer ships.
+
+    Routing only needs per-sample sizes; they are extracted once and
+    cached on the dataset object (keyed by tokenizer identity), so
+    multi-host epochs don't re-fetch/re-tokenize the full set per host
+    per epoch.
+    """
+    caps = sorted(collators.keys(), key=_norm_bucket_key)
+    any_qlen = any(isinstance(k, tuple) for k in caps)
+    if idx is None:
+        idx = range(len(dataset))
+
+    # every collator shares one tokenizer, so the (BPE) token count is
+    # computed once per sample
+    tok = collators[caps[0]].tokenizer
+    cache = getattr(dataset, "_route_size_cache", None)
+    if not (cache and cache[0] is tok and cache[1] == any_qlen
+            and len(cache[2]) == len(dataset)):
+        sizes = np.empty((len(dataset), 3), dtype=np.int64)
+        for j in range(len(dataset)):
+            s = dataset[j]
+            g = s.graph
+            sizes[j] = (g.num_nodes, g.edge_src.shape[0],
+                        tok.count_tokens(s.question) if any_qlen else 0)
+        cache = (tok, any_qlen, sizes)
+        try:
+            dataset._route_size_cache = cache
+        except AttributeError:           # read-only dataset object
+            pass
+    sizes = cache[2]
+
+    per_bucket: dict = {c: [] for c in caps}
+    for j in idx:
+        n, e, q = (int(sizes[j, 0]), int(sizes[j, 1]), int(sizes[j, 2]))
+        for key in caps:
+            spec = collators[key].spec
+            # the question-length check applies to bare-int keys too
+            # (their spec still has a question_len): a long question
+            # must fall through to the largest bucket, never be
+            # silently truncated by a small one
+            if (n <= spec.max_nodes_per_graph
+                    and e <= spec.max_edges_per_graph
+                    and (not any_qlen or q <= spec.question_len)):
+                per_bucket[key].append(int(j))
+                break
+        else:
+            per_bucket[caps[-1]].append(int(j))
+    return per_bucket
 
 
 def iterate_batches_bucketed(
@@ -249,44 +320,13 @@ def iterate_batches_bucketed(
     no per-step collectives (the explain runner), where duplicate
     samples would skew sums; lock-step training must keep the default.
     """
-    def norm_key(k):
-        # bare int keys carry no question-length constraint: order them
-        # after same-node-cap tuple keys (least specific last)
-        return k if isinstance(k, tuple) else (k, float("inf"))
-
-    caps = sorted(collators.keys(), key=norm_key)
-    any_qlen = any(isinstance(k, tuple) for k in caps)
+    caps = sorted(collators.keys(), key=_norm_bucket_key)
     # the FULL index list on every host — sharding happens on the
     # schedule below, never on the samples, so hosts agree on it
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
-
-    # every collator shares one tokenizer, so the (BPE) token count is
-    # computed once per sample.  Routing fetches every sample on every
-    # host (sizes are only known after a fetch); with num_shards > 1
-    # each host then *collates* only its own chunk per round.  Datasets
-    # are in-memory at GQA scale, so the duplicate fetch is cheap.
-    per_bucket: dict = {c: [] for c in caps}
-    for j in idx:
-        sample = dataset[int(j)]
-        g = sample.graph
-        n, e = g.num_nodes, g.edge_src.shape[0]
-        q = (collators[caps[0]].tokenizer.count_tokens(sample.question)
-             if any_qlen else 0)
-        for key in caps:
-            spec = collators[key].spec
-            # the question-length check applies to bare-int keys too
-            # (their spec still has a question_len): a long question
-            # must fall through to the largest bucket, never be
-            # silently truncated by a small one
-            if (n <= spec.max_nodes_per_graph
-                    and e <= spec.max_edges_per_graph
-                    and (not any_qlen or q <= spec.question_len)):
-                per_bucket[key].append(sample)
-                break
-        else:
-            per_bucket[caps[-1]].append(sample)
+    per_bucket = route_to_buckets(dataset, collators, idx)
 
     rng = np.random.default_rng(seed + 1)
     # rounds: ``num_shards`` same-bucket chunks; every host walks the
@@ -311,7 +351,8 @@ def iterate_batches_bucketed(
         rng.shuffle(rounds)
     for cap, group in rounds:
         if shard_index < len(group):
-            yield collators[cap].collate(group[shard_index])
+            yield collators[cap].collate(
+                [dataset[t] for t in group[shard_index]])
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:

@@ -115,9 +115,12 @@ def run_token_coo_exp(
             shard_index=shard_index, num_shards=num_shards,
             pad_shards=False)
     else:
+        # same exact-partition requirement as the bucketed branch:
+        # wrap-padded duplicate samples would skew the reduced sums
         batches = iterate_batches(ds, data.collators[split],
                                   shard_index=shard_index,
-                                  num_shards=num_shards)
+                                  num_shards=num_shards,
+                                  pad_shards=False)
     for b_idx, (batch, meta) in enumerate(prefetch(batches, depth=2)):
         if max_batches is not None and b_idx >= max_batches:
             break

@@ -60,7 +60,6 @@ from flax import linen as nn
 from ..data.batching import GraphBatch
 from ..ops.pallas import gat_train
 from ..ops.pallas.gat_kernel import fused_gat_layer, gat_layer_reference
-from ..ops.pallas.gat_train import fused_gat_layer_train
 from ..sampling.aimle import AIMLEState
 from .masking import MaskingModel
 
@@ -218,7 +217,7 @@ class MGATLayer(nn.Module):
                 pack=self.pack,
             )
         elif run_fused_train:
-            out, alpha = fused_gat_layer_train(
+            out, alpha = gat_train.fused_gat_layer_train(
                 h_in, xf, instruction, gate,
                 batch.edge_src, batch.edge_dst,
                 batch.edge_mask, batch.node_mask,

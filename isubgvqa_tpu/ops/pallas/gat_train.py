@@ -293,9 +293,12 @@ def _with_packing(call, pack, xf, gate, src, dst, edge_mask, e_attr,
         g = _pick_pack(n, e)
     else:
         g = pack if pack is not None else 1
-        # clamp explicit ints to the per-program caps exactly like the
-        # inference kernel (gat_kernel.py:fused_gat_layer), so one
-        # config knob (cfg.kernel_pack) is safe for every bucket shape
+        # clamp explicit ints to the per-program caps so one config
+        # knob (cfg.kernel_pack) is safe for every bucket shape.  The
+        # inference kernel clamps likewise but with a 384-edge budget
+        # (gat_kernel.py:fused_gat_layer) — a tuned pack can therefore
+        # resolve one graph lower at eval than at train on edge-heavy
+        # buckets
         g = max(min(g, 128 // max(n, 1), 512 // max(e, 1)), 1)
     if g <= 1:
         return call(xf, gate, src, dst, edge_mask, e_attr, *extra,
@@ -538,6 +541,68 @@ def _vjp_bwd(negative_slope, interpret, pack, residuals, cts):
 
 
 fused_gatconv.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_gatconv_fwd_flops(n: int, e: int, c: int = 300,
+                            heads: int = 4) -> float:
+    """Analytic FLOPs of one :func:`_fwd_kernel` program (matmul-exact
+    2·m·k·n per ``jnp.dot``, elementwise VPU work at ~1 FLOP/op — the
+    same convention as
+    :func:`~.gat_kernel.fused_gat_layer_flops`).  XLA cost analysis
+    cannot see inside Pallas kernels; the benchmark adds this so the
+    training-step MFU is exact.  Mirrors the kernel op by op."""
+    hc = heads * c
+    fl = 0.0
+    fl += 2 * (2 * n * c * hc + n * hc)      # x_l, x_r (+bias)
+    fl += 2 * e * n                          # one-hot compares (×2 maps)
+    fl += 2 * (2 * e * n * hc)               # xs, xd gathers
+    fl += 2 * e * c * hc                     # eproj (lin_edge)
+    fl += 2 * e * hc                         # m0 = xs + xd + eproj
+    fl += 2 * (2 * e * n)                    # edge-gate gathers
+    fl += 4 * e * hc                         # gate mul ×2, leaky relu
+    fl += 2 * e * hc * heads                 # attention logits
+    fl += e * n * heads                      # per-head max reduce
+    fl += 2 * e * n * heads                  # max_e broadcast
+    fl += 3 * e * heads                      # exp + sub + mask
+    fl += 2 * (2 * e * n * heads)            # denom_n, denom_e
+    fl += 2 * e * heads                      # div + alpha·egate
+    fl += 2 * e * heads * hc                 # w_bcast head expand
+    fl += e * hc                             # weighted = xs * w_bcast
+    fl += 2 * e * n * hc + n * hc            # conv scatter + cbias
+    return fl
+
+
+def fused_gatconv_bwd_flops(n: int, e: int, c: int = 300,
+                            heads: int = 4) -> float:
+    """Analytic FLOPs of one :func:`_bwd_kernel` program: the in-VMEM
+    forward *recompute* (these are executed FLOPs — the recompute is
+    the price of shipping no ``[E, H·C]`` residuals to HBM) plus the
+    reverse chain.  Same accounting convention as the forward model."""
+    hc = heads * c
+    # recompute: forward minus the conv scatter/cbias epilogue
+    fl = fused_gatconv_fwd_flops(n, e, c, heads)
+    fl -= e * hc + 2 * e * n * hc + n * hc
+    # reverse chain
+    fl += n * hc                             # dcbias column sum
+    fl += 2 * e * n * hc                     # d_wt gather
+    fl += 2 * e * hc                         # d_xs, d_wb muls
+    fl += 2 * e * hc * heads                 # dexpand accumulate
+    fl += 2 * e * hc * heads                 # d_we_ head collapse
+    fl += 4 * e * heads                      # d_alpha, d_eg
+    fl += 2 * e * n * heads + e * heads      # t_n (+ alpha·d_alpha)
+    fl += 2 * e * n * heads                  # t_e broadcast
+    fl += 2 * e * heads                      # d_logits
+    fl += 2 * e * heads * hc                 # d_m3
+    fl += 2 * e * hc * heads                 # dattb accumulate
+    fl += 7 * e * hc                         # d_m2/d_m1/d_m0 + d_eg sums
+    fl += 2 * e * hc * c                     # de (lin_edge input grad)
+    fl += 2 * e * c * hc                     # dwe accumulate
+    fl += e * hc                             # d_xs + d_m0
+    fl += 2 * (2 * e * n * hc)               # d_xl, d_xr scatters
+    fl += 2 * (2 * n * hc * c)               # dxf via wl/wr
+    fl += 2 * (2 * n * c * hc + n * hc)      # dwl/dbl, dwr/dbr
+    fl += 2 * e * n                          # dgate dst-only scatter
+    return fl
 
 
 def fused_gat_layer_train(h, xf, instr, gate, src, dst, edge_mask,

@@ -304,3 +304,38 @@ def _vjp_bwd(interpret, residuals, cts):
 
 
 fused_metalayer_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def metalayer_bwd_flops(n: int, e: int, c: int = 300) -> float:
+    """Analytic FLOPs of one :func:`_bwd_kernel` program: the in-VMEM
+    forward recompute (executed FLOPs — the price of inputs-only
+    residuals) plus the reverse chain.  Matmul-exact, elementwise at
+    ~1 FLOP/op, gelu/gelu-grad at ~12 — the same convention as
+    :func:`~.gat_kernel.metalayer_kernel_flops`, which covers the
+    forward kernel this VJP pairs with."""
+    fl = 0.0
+    # ---- recompute (metalayer_kernel._kernel math + GraphNorm stats)
+    fl += 2 * e * n                          # one-hot compares
+    fl += 2 * (2 * e * n * c)                # xs, xd gathers
+    fl += 3 * (2 * e * c * c) + 12 * e * c   # edge MLP in + gelu
+    fl += 2 * e * c * c                      # edge MLP out
+    fl += 2 * (2 * e * c * c) + 12 * e * c   # node mlp1 in + gelu
+    fl += 2 * e * c * c                      # node mlp1 out
+    fl += 2 * e * n * c + 2 * e * n          # agg scatter + degree
+    fl += 2 * (2 * n * c * c) + 12 * n * c   # node mlp2 in + gelu
+    fl += 2 * n * c * c                      # node mlp2 out
+    fl += 10 * n * c                         # GraphNorm stats
+    # ---- reverse chain
+    fl += 17 * n * c                         # GraphNorm backward
+    fl += 2 * (2 * n * c * c) + n * c        # d_og, dn2w2 (+ dn2b2)
+    fl += 13 * n * c                         # d_o1 = d_og · gelu'
+    fl += 4 * (2 * n * c * c) + n * c        # dx, d_agg, dn2w1 halves
+    fl += 2 * e * n * c + n * c + e * c      # d_m3 scatter (+div, mask)
+    fl += 2 * (2 * e * c * c) + e * c        # d_mg, dn1w2 (+ dn1b2)
+    fl += 13 * e * c                         # d_m1 = d_mg · gelu'
+    fl += 4 * (2 * e * c * c) + 2 * e * c    # d_xs, d_eout, dn1w1 halves
+    fl += 2 * (2 * e * c * c) + e * c        # d_hg, dew2 (+ deb2)
+    fl += 13 * e * c                         # d_h1 = d_hg · gelu'
+    fl += 6 * (2 * e * c * c) + e * c        # d_xs+, d_xd, de, dew1
+    fl += 2 * (2 * e * n * c)                # dx scatters
+    return fl

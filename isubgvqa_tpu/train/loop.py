@@ -101,10 +101,11 @@ class Trainer:
         ds = self.data.datasets["train"]
         batches = self._iter_split("train", shuffle=True,
                                    seed=cfg.seed + epoch, drop_last=True)
-        # upper bound only: bucketed iteration drops each bucket's own
-        # tail under drop_last, so the true count can be lower — the
-        # meter prefix says "/<=N" and the final display(i+1) after the
-        # loop reports the exact count
+        # estimate only: bucketed iteration drops each bucket's own
+        # tail under drop_last (true count lower), while multi-host
+        # wrap-padded rounds can exceed it when many buckets hold just
+        # over one batch each — the meter prefix says "~N" and the
+        # final display(i+1) after the loop reports the exact count
         n_batches = len(ds) // self.num_shards // cfg.batch_size
 
         batch_time = AverageMeter("Time", ":4.2f")

@@ -61,11 +61,12 @@ class ProgressMeter:
 
     def __init__(self, num_batches: int, meters: Sequence[AverageMeter],
                  prefix: str = "", estimate: bool = False):
-        """``estimate`` marks ``num_batches`` as an upper bound (the
-        bucketed iterator drops each bucket's tail, so the exact count
-        is only known after the epoch): the total renders as ``<=N``."""
+        """``estimate`` marks ``num_batches`` as approximate (the
+        bucketed iterator drops each bucket's tail and multi-host
+        rounds are wrap-padded, so the exact count is only known after
+        the epoch): the total renders as ``~N``."""
         num_digits = len(str(num_batches // 1))
-        total = ("<=" if estimate else "") + str(num_batches)
+        total = ("~" if estimate else "") + str(num_batches)
         self.batch_fmtstr = "[{:" + str(num_digits) + "d}/" + total + "]"
         self.meters = meters
         self.prefix = prefix

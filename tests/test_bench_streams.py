@@ -1,0 +1,69 @@
+"""bench.py batch-stream generation: the axon tunnel dedups identical
+executions, so every timed batch must be pairwise-distinct — including
+when a bucket's member count is an exact multiple of the batch size
+(the composition-wrap scheme emitted byte-identical batches there)."""
+
+import numpy as np
+
+from bench import _stream_is_distinct, build_bucket_streams
+from isubgvqa_tpu.data import (AnswerMap, BucketSpec, Collator,
+                               HashWordTokenizer, SceneGraphVocab,
+                               SyntheticGQA)
+
+
+def _setup(size):
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=size, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    collators = {
+        (32, 12): Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                           max_edges_per_graph=160,
+                                           question_len=12), vocab=vocab),
+    }
+    return ds, collators
+
+
+def test_streams_distinct_when_members_equal_batch_size():
+    """members == batch size: exactly the case where the old wraparound
+    produced 5 identical batches."""
+    ds, collators = _setup(size=4)
+    streams, weights = build_bucket_streams(ds, collators, batch_size=4,
+                                            min_timed=4)
+    (batches,) = streams.values()
+    assert len(batches) == 5
+    assert _stream_is_distinct(batches)
+    assert list(weights.values()) == [1.0]
+
+
+def test_streams_distinct_when_members_below_batch_size():
+    """2 members at batch 4: only 2 distinct rotations exist, but
+    with-replacement draws give up to 2^4 compositions."""
+    ds, collators = _setup(size=2)
+    streams, _ = build_bucket_streams(ds, collators, batch_size=4,
+                                      min_timed=4)
+    (batches,) = streams.values()
+    assert _stream_is_distinct(batches)
+
+
+def test_single_member_bucket_is_flagged_not_silently_blended():
+    """1 member cannot produce distinct batches — the helper that the
+    timing loop uses to set ``distinct_inputs: false`` must detect it."""
+    ds, collators = _setup(size=1)
+    streams, _ = build_bucket_streams(ds, collators, batch_size=4,
+                                      min_timed=4)
+    (batches,) = streams.values()
+    assert not _stream_is_distinct(batches)
+
+
+def test_streams_deterministic_across_calls():
+    """Seeded per bucket: re-running the bench times the same stream."""
+    ds, collators = _setup(size=10)
+    s1, _ = build_bucket_streams(ds, collators, batch_size=4, min_timed=4)
+    s2, _ = build_bucket_streams(ds, collators, batch_size=4, min_timed=4)
+    for k in s1:
+        for b1, b2 in zip(s1[k], s2[k]):
+            np.testing.assert_array_equal(np.asarray(b1.node_tokens),
+                                          np.asarray(b2.node_tokens))
+            np.testing.assert_array_equal(np.asarray(b1.qst_tokens),
+                                          np.asarray(b2.qst_tokens))

@@ -305,3 +305,67 @@ def test_pad_shards_false_partitions_exactly():
             seen.extend(meta.question_ids[:meta.num_real])
     assert len(seen) == 41, "no duplicates, no drops"
     assert len(set(seen)) == 41
+
+
+def test_iterate_batches_exact_partition_without_pad():
+    """The fixed-shape iterator's ``pad_shards=False``: shards
+    partition an odd-size dataset exactly (no wrap-padded duplicate
+    tail samples — those would double-count into metrics-only eval
+    sums, explain/runner.py)."""
+    from isubgvqa_tpu.data.batching import iterate_batches
+
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=7, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    coll = Collator(tok, BucketSpec(2, max_nodes_per_graph=32,
+                                    max_edges_per_graph=160,
+                                    question_len=12), vocab=vocab)
+    seen = []
+    for shard in range(2):
+        for batch, meta in iterate_batches(ds, coll, shard_index=shard,
+                                           num_shards=2, pad_shards=False):
+            seen.extend(meta.question_ids[:meta.num_real])
+    assert len(seen) == 7, "no duplicates, no drops"
+    assert len(set(seen)) == 7
+    # default (lock-step training) keeps DistributedSampler wrap-pad
+    padded = []
+    for shard in range(2):
+        for batch, meta in iterate_batches(ds, coll, shard_index=shard,
+                                           num_shards=2):
+            padded.extend(meta.question_ids[:meta.num_real])
+    assert len(padded) == 8   # one wrapped duplicate
+
+
+def test_route_size_cache_avoids_refetch():
+    """route_to_buckets caches per-sample sizes on the dataset: the
+    second epoch routes without re-tokenizing every question (the
+    multi-host O(N)-per-host-per-epoch fix)."""
+    from isubgvqa_tpu.data.batching import route_to_buckets
+
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=12, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    calls = {"n": 0}
+    orig = tok.count_tokens
+
+    def counting(text):
+        calls["n"] += 1
+        return orig(text)
+
+    tok.count_tokens = counting
+    collators = {
+        (8, 12): Collator(tok, BucketSpec(4, max_nodes_per_graph=8,
+                                          max_edges_per_graph=48,
+                                          question_len=12), vocab=vocab),
+        (32, 12): Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                           max_edges_per_graph=160,
+                                           question_len=12), vocab=vocab),
+    }
+    first = route_to_buckets(ds, collators)
+    n_after_first = calls["n"]
+    assert n_after_first == 12
+    second = route_to_buckets(ds, collators)
+    assert calls["n"] == n_after_first, "cached sizes must be reused"
+    assert first == second

@@ -105,3 +105,32 @@ def test_sharded_explain_recombines():
     combined = {k: shard0.sums[k] + shard1.sums[k] for k in full.sums}
     for k, v in full.sums.items():
         assert combined[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_sharded_explain_recombines_unbucketed():
+    """The non-bucketed fallback path (single collator) must partition
+    exactly too: with an odd dev set, a wrap-padded duplicate sample
+    would double-count into the reduced sums (iterate_batches
+    pad_shards=False, explain/runner.py)."""
+    cfg = dataclasses.replace(
+        small_cfg(), synthetic=True, synthetic_size=28, batch_size=2,
+        eval_batch_factor=1, meta_dir="", epochs=0, use_topk=False,
+        bucket_node_caps=(), bucket_question_lens=())
+    data = build_datasets(cfg)
+    assert len(data.bucket_collators["dev"]) == 1   # fallback branch
+    assert len(data.datasets["dev"]) == 7           # odd: pad would dup
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
+    model = build_model(cfg, data.vocab)
+    trainer = Trainer(cfg, model, data)
+
+    kw = dict(model=model, state=trainer.state, data=data, cfg=cfg,
+              split="dev", seed=7)
+    full = run_token_coo_exp(**kw)
+    shard0 = run_token_coo_exp(**kw, shard_index=0, num_shards=2)
+    shard1 = run_token_coo_exp(**kw, shard_index=1, num_shards=2)
+
+    assert full.num_samples == 7
+    assert shard0.num_samples + shard1.num_samples == full.num_samples
+    combined = {k: shard0.sums[k] + shard1.sums[k] for k in full.sums}
+    for k, v in full.sums.items():
+        assert combined[k] == pytest.approx(v, abs=1e-9), k

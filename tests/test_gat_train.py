@@ -218,7 +218,6 @@ def test_model_train_grads_match_reference_path(monkeypatch, rng):
     (interpret kernels on CPU), the full model's training loss and
     parameter gradients match the XLA reference path — and the fused
     path provably ran (call spy)."""
-    from isubgvqa_tpu.models import mgat as mgat_mod
     from isubgvqa_tpu.ops.pallas import gat_train
     from isubgvqa_tpu.models.build import build_model, init_model
     from isubgvqa_tpu.train.steps import cross_entropy_loss
@@ -259,7 +258,7 @@ def test_model_train_grads_match_reference_path(monkeypatch, rng):
         return orig(*a, **kw)
 
     monkeypatch.setattr(gat_train, "FORCE_INTERPRET", True)
-    monkeypatch.setattr(mgat_mod, "fused_gat_layer_train", spy)
+    monkeypatch.setattr(gat_train, "fused_gat_layer_train", spy)
     loss_fused, grads_fused = jax.value_and_grad(loss_fn)(params)
 
     assert calls["n"] == 4, "all four MGAT layers must take the fused path"
@@ -364,7 +363,6 @@ def test_kernel_pack_config_reaches_train_path(monkeypatch):
     test_gat_kernel.py:test_kernel_pack_config_reaches_fused_layer).
     The layer itself is faked; packed gradient exactness is pinned by
     test_fused_gatconv_packed_grads_match."""
-    from isubgvqa_tpu.models import mgat as mgat_mod
     from isubgvqa_tpu.ops.pallas import gat_train
     from isubgvqa_tpu.models.build import build_model, init_model
     from tests.test_model import (small_cfg, SceneGraphVocab, AnswerMap,
@@ -399,9 +397,38 @@ def test_kernel_pack_config_reaches_train_path(monkeypatch):
                 jnp.zeros((b, src.shape[1], nheads), jnp.float32))
 
     monkeypatch.setattr(gat_train, "FORCE_INTERPRET", True)
-    monkeypatch.setattr(mgat_mod, "fused_gat_layer_train", fake_fused_train)
+    monkeypatch.setattr(gat_train, "fused_gat_layer_train", fake_fused_train)
     model.apply({"params": params, "batch_stats": batch_stats},
                 batch, train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.PRNGKey(1),
                       "sampler": jax.random.PRNGKey(2)})
     assert seen_packs == [3, 3, 3, 3], seen_packs
+
+
+def test_train_kernel_flops_models_pinned():
+    """Analytic FLOPs models for the custom-VJP training kernels (the
+    benchmark adds these to XLA cost analysis — Pallas kernels are
+    invisible to it — so the train-step MFU is exact).  Constants
+    pinned at the (32-node, 128-edge) bucket; relations guard against
+    accounting regressions."""
+    from isubgvqa_tpu.ops.pallas.gat_kernel import (fused_gat_layer_flops,
+                                                    metalayer_kernel_flops)
+    from isubgvqa_tpu.ops.pallas.gat_train import (fused_gatconv_bwd_flops,
+                                                   fused_gatconv_fwd_flops)
+    from isubgvqa_tpu.ops.pallas.metalayer_train import metalayer_bwd_flops
+
+    assert fused_gatconv_fwd_flops(32, 128) == 171521024.0
+    assert fused_gatconv_bwd_flops(32, 128) == 474113536.0
+    assert metalayer_bwd_flops(32, 128) == 553120384.0
+
+    # the conv kernel is the layer minus its XLA head
+    assert fused_gatconv_fwd_flops(32, 128) < fused_gat_layer_flops(32, 128)
+    # backward = recompute (~1x forward) + reverse chain (> forward)
+    assert 2.0 < (fused_gatconv_bwd_flops(32, 128)
+                  / fused_gatconv_fwd_flops(32, 128)) < 4.0
+    assert 2.0 < (metalayer_bwd_flops(32, 128)
+                  / metalayer_kernel_flops(32, 128)) < 4.0
+    # monotone in both shape axes
+    assert fused_gatconv_bwd_flops(32, 256) > fused_gatconv_bwd_flops(32, 128)
+    assert fused_gatconv_bwd_flops(64, 128) > fused_gatconv_bwd_flops(32, 128)
+    assert metalayer_bwd_flops(128, 384) > metalayer_bwd_flops(32, 128)
