@@ -432,3 +432,46 @@ def test_train_kernel_flops_models_pinned():
     assert fused_gatconv_bwd_flops(32, 256) > fused_gatconv_bwd_flops(32, 128)
     assert fused_gatconv_bwd_flops(64, 128) > fused_gatconv_bwd_flops(32, 128)
     assert metalayer_bwd_flops(128, 384) > metalayer_bwd_flops(32, 128)
+
+
+def test_conv_fwd_flops_model_matches_xla_cost_analysis():
+    """Cross-validation: the analytic forward-kernel FLOPs model agrees
+    with XLA cost analysis of the numerically-identical op-by-op conv
+    (dense one-hot matmul formulation) within 1% — the same validation
+    discipline as the inference models (bench.py module doc)."""
+    from isubgvqa_tpu.ops.pallas.gat_kernel import (gat_conv_reference,
+                                                    pack_gat_params)
+    from isubgvqa_tpu.ops.pallas.gat_train import fused_gatconv_fwd_flops
+
+    n, e, c, heads = 32, 128, 300, 4
+    hc = heads * c
+    rng = np.random.default_rng(0)
+    xf = jnp.asarray(rng.normal(size=(2, n, c)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(size=(2, n, 1)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, n, (2, e)), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, n, (2, e)), jnp.int32)
+    emask = jnp.ones((2, e), jnp.float32)
+    eattr = jnp.asarray(rng.normal(size=(2, e, c)), jnp.float32)
+    params = pack_gat_params(
+        heads, c,
+        jnp.asarray(rng.normal(size=(c, hc)), jnp.float32),
+        jnp.zeros((1, hc)),
+        jnp.asarray(rng.normal(size=(c, hc)), jnp.float32),
+        jnp.zeros((1, hc)),
+        jnp.asarray(rng.normal(size=(heads * c,)), jnp.float32),
+        jnp.zeros((1, hc)),
+        jnp.zeros((hc, hc // 2)), jnp.zeros((1, hc // 2)),
+        jnp.zeros((hc // 2, c)), jnp.zeros((1, c)),
+        jnp.ones((c,)), jnp.zeros((c,)), jnp.ones((c,)))
+    we = jnp.asarray(rng.normal(size=(c, hc)), jnp.float32)
+
+    def f(xf, gate, eattr, we):
+        eproj = eattr @ we            # lin_edge, in-kernel in Pallas
+        return gat_conv_reference(xf, gate, src, dst, emask, eproj, params)
+
+    ca = jax.jit(f).lower(xf, gate, eattr, we).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    xla = float(ca["flops"])
+    analytic = 2 * fused_gatconv_fwd_flops(n, e, c, heads)   # batch of 2
+    assert abs(xla - analytic) / analytic < 0.01, (xla, analytic)
