@@ -95,16 +95,80 @@ class Collator:
 
     Oversized graphs are truncated to the caps (dropped nodes/edges are
     counted in ``truncated_nodes`` / ``truncated_edges``).
+
+    When constructed with a shared
+    :class:`~isubgvqa_tpu.native.PackedGraphStore` (as
+    ``build_bucket_collators`` does), the per-graph fill loop runs in
+    the native C++ kernel (:mod:`isubgvqa_tpu.native.collate`) — the
+    Python loop below stays as the fallback and the parity oracle
+    (tests/test_native_collate.py).  Both paths produce identical
+    batches and truncation counts.
     """
 
-    def __init__(self, tokenizer, spec: BucketSpec, vocab=None):
+    def __init__(self, tokenizer, spec: BucketSpec, vocab=None,
+                 packed_store=None):
         self.tokenizer = tokenizer
         self.spec = spec
         self._vocab = vocab
         self.truncated_nodes = 0
         self.truncated_edges = 0
+        self._packed = packed_store
+        if packed_store is not None:
+            from ..native.collate import load_collate_lib
+            self._native_lib = load_collate_lib()
+        else:
+            self._native_lib = None
+
+    def _questions_to_arrays(self, samples: Sequence):
+        spec = self.spec
+        num_real = len(samples)
+        qst_tokens, qst_mask = self.tokenizer(
+            [s.question for s in samples], max_len=spec.question_len
+        )
+        q_ids = np.full((spec.batch_size, spec.question_len),
+                        self.tokenizer.pad_id, np.int32)
+        q_mask = np.zeros((spec.batch_size, spec.question_len), np.int32)
+        q_ids[:num_real] = qst_tokens
+        q_mask[:num_real] = qst_mask
+        return q_ids, q_mask
+
+    def _collate_native(self, samples: Sequence) -> tuple[GraphBatch,
+                                                          BatchMeta]:
+        spec = self.spec
+        b, n, e = (spec.batch_size, spec.max_nodes_per_graph,
+                   spec.max_edges_per_graph)
+        num_real = len(samples)
+        assert num_real <= b
+        graphs = [s.graph for s in samples]
+        rows = self._packed.rows(graphs)
+        labels_in = np.asarray([s.label for s in samples], np.int32)
+        (node_tokens, node_bbox, node_mask, edge_src, edge_dst, edge_token,
+         edge_sign, edge_mask, labels, sample_mask, tn, te) = \
+            self._packed.fill_batch(self._native_lib, rows, labels_in,
+                                    b, n, e)
+        self.truncated_nodes += tn
+        self.truncated_edges += te
+        q_ids, q_mask = self._questions_to_arrays(samples)
+        batch = GraphBatch(
+            node_tokens=node_tokens, node_bbox=node_bbox, node_mask=node_mask,
+            edge_src=edge_src, edge_dst=edge_dst, edge_token=edge_token,
+            edge_sign=edge_sign, edge_mask=edge_mask,
+            qst_tokens=q_ids, qst_mask=q_mask, labels=labels,
+            sample_mask=sample_mask,
+        )
+        meta = BatchMeta(
+            question_ids=[s.question_id for s in samples],
+            image_ids=[s.image_id for s in samples],
+            questions=[s.question for s in samples],
+            qst_types=[s.qst_type for s in samples],
+            num_real=num_real,
+            graphs=graphs,
+        )
+        return batch, meta
 
     def collate(self, samples: Sequence) -> tuple[GraphBatch, BatchMeta]:
+        if self._native_lib is not None:
+            return self._collate_native(samples)
         spec = self.spec
         b, n, e = spec.batch_size, spec.max_nodes_per_graph, spec.max_edges_per_graph
         num_real = len(samples)
@@ -146,13 +210,7 @@ class Collator:
             labels[gi] = samples[gi].label
             sample_mask[gi] = 1.0
 
-        qst_tokens, qst_mask = self.tokenizer(
-            [s.question for s in samples], max_len=spec.question_len
-        )
-        q_ids = np.full((b, spec.question_len), self.tokenizer.pad_id, np.int32)
-        q_mask = np.zeros((b, spec.question_len), np.int32)
-        q_ids[:num_real] = qst_tokens
-        q_mask[:num_real] = qst_mask
+        q_ids, q_mask = self._questions_to_arrays(samples)
 
         batch = GraphBatch(
             node_tokens=node_tokens, node_bbox=node_bbox, node_mask=node_mask,

@@ -72,8 +72,12 @@ def build_datasets(cfg: Config) -> DataBundle:
 
     eval_bs = cfg.batch_size * cfg.eval_batch_factor   # build.py:55-67
     split_bs = {"train": cfg.batch_size, "dev": eval_bs, "testdev": eval_bs}
+    # one packed store shared by every split/bucket collator: the
+    # splits share the scene-graph store, so graphs pack once
+    packed = _make_packed_store()
     bucket_collators = {
-        split: build_bucket_collators(cfg, tokenizer, vocab, batch_size=bs)
+        split: build_bucket_collators(cfg, tokenizer, vocab, batch_size=bs,
+                                      packed_store=packed)
         for split, bs in split_bs.items()
     }
     n_max, q_max = cfg.max_nodes_per_graph, cfg.question_len
@@ -84,8 +88,16 @@ def build_datasets(cfg: Config) -> DataBundle:
                       bucket_collators=bucket_collators)
 
 
+def _make_packed_store():
+    """A PackedGraphStore when the native collate kernel is available,
+    else None (collators then run the pure-Python fill)."""
+    from ..native.collate import PackedGraphStore, load_collate_lib
+    return PackedGraphStore() if load_collate_lib() is not None else None
+
+
 def build_bucket_collators(cfg: Config, tokenizer, vocab,
-                           batch_size: int) -> Dict[tuple, Collator]:
+                           batch_size: int,
+                           packed_store=None) -> Dict[tuple, Collator]:
     """Collators keyed by ``(node_cap, question_len_cap)`` over the
     cross product of the configured node and question-length buckets.
 
@@ -107,12 +119,14 @@ def build_bucket_collators(cfg: Config, tokenizer, vocab,
     def e_cap_for(n_cap: int) -> int:
         return e_max if n_cap == n_max else min(max(4 * n_cap, 1), e_max)
 
+    if packed_store is None:
+        packed_store = _make_packed_store()
     return {
         (n_cap, q_cap): Collator(
             tokenizer,
             BucketSpec(batch_size=batch_size, max_nodes_per_graph=n_cap,
                        max_edges_per_graph=e_cap_for(n_cap),
                        question_len=q_cap),
-            vocab=vocab)
+            vocab=vocab, packed_store=packed_store)
         for n_cap in n_caps for q_cap in q_caps
     }

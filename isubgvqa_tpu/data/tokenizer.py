@@ -52,6 +52,11 @@ class HashWordTokenizer:
         self.bos_id = vocab_size - 2
         self.eos_id = vocab_size - 1
         self.pad_id = self.eos_id  # CLIP pads with <|endoftext|>
+        # question-length bucket routing already encodes every question
+        # once (route_to_buckets -> count_tokens); caching by text makes
+        # collate-time tokenization a dict hit.  Callers never mutate
+        # the returned list (__call__ always slices a copy).
+        self.encode = functools.lru_cache(maxsize=1 << 18)(self._encode)
 
     @functools.lru_cache(maxsize=65536)
     def _token_id(self, token: str) -> int:
@@ -61,7 +66,7 @@ class HashWordTokenizer:
     def tokenize(self, text: str) -> list[str]:
         return _WORD_RE.findall(text.lower().strip())
 
-    def encode(self, text: str) -> list[int]:
+    def _encode(self, text: str) -> list[int]:
         ids = [self.bos_id]
         ids += [self._token_id(t) for t in self.tokenize(text)]
         ids.append(self.eos_id)
@@ -146,7 +151,7 @@ class ClipBPETokenizer(HashWordTokenizer):
         self.cache[token] = out
         return out
 
-    def encode(self, text: str) -> list[int]:
+    def _encode(self, text: str) -> list[int]:
         text = re.sub(r"\s+", " ", text.lower().strip())
         ids = [self.bos_id]
         for tok in _WORD_RE.findall(text):
