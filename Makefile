@@ -1,7 +1,12 @@
-.PHONY: test bench train explain dryrun docs
+.PHONY: test bench train explain dryrun docs native
 
 test:
 	python -m pytest tests/ -q
+
+native:
+	python -c "from isubgvqa_tpu.native import load_collate_lib; \
+	  lib = load_collate_lib(); \
+	  print('native collate:', 'ok' if lib else 'UNAVAILABLE')"
 
 bench:
 	python bench.py
