@@ -87,6 +87,9 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     p.add_argument("--compute_dtype", default=d.compute_dtype)
     p.add_argument("--num_data_shards", type=int, default=None)
+    p.add_argument("--model_parallel", type=int, default=d.model_parallel,
+                   help="mesh devices along the model axis (>1 shards "
+                        "the big embedding/head tables; TP)")
     p.add_argument("--question_len", type=int, default=d.question_len)
     p.add_argument("--num_answers", type=int, default=d.num_answers)
     p.add_argument("--profile_dir", default=d.profile_dir,

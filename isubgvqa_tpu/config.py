@@ -101,8 +101,13 @@ class Config:
     compute_dtype: str = "bfloat16"         # matmul/activation dtype on TPU
     param_dtype: str = "float32"
     data_axis: str = "data"                 # mesh axis for DP
-    model_axis: str = "model"               # reserved for TP
+    model_axis: str = "model"               # mesh axis for TP
     num_data_shards: Optional[int] = None   # default: all local devices
+    # devices along the model axis: >1 row-shards the big parameter
+    # tables (CLIP text embedding, answer head) and their Adam moments
+    # over `model` (parallel/mesh.py:TP_PARAM_RULES); XLA partitions
+    # the step accordingly.  1 = pure DP (reference semantics).
+    model_parallel: int = 1
     use_pallas: bool = True                 # enable Pallas fused kernels where available
     # graphs per fused-GAT grid program (None = 1), applied to both the
     # inference kernel and the trainable conv.  Each kernel clamps the

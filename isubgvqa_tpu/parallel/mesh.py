@@ -68,3 +68,59 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / train state) across the mesh."""
     sh = replicate_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --------------------------------------------------------------- tensor
+# parallelism over the ``model`` axis (optional; absent in the
+# reference — SURVEY §2.2 marks TP n/a — but the axis is functional,
+# not just reserved).  GSPMD style: the rules below only choose the
+# *placement* of the big parameter tables; the step function is
+# untouched and XLA's partitioner inserts the collectives.  The two
+# tables dominate parameter/optimizer memory (CLIP text embedding
+# 49408x512 ≈ 25M of the ~63M params; answer head 512x1842): row-shard
+# them over ``model``.  Everything else (and every leaf whose shape
+# doesn't divide) stays replicated, so ``shard_state`` degenerates to
+# ``replicate`` on a model=1 mesh.
+#
+# Rules match on the tail of the tree path, so they apply equally to
+# ``params`` and to the optimizer's mirrored moments (Adam mu/nu).
+TP_PARAM_RULES = (
+    (("token_embedding", "embedding"), P("model", None)),  # [V, D]
+    (("logit_fc", "kernel"), P("model", None)),            # [D, answers]
+)
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for k in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                names.append(str(getattr(k, attr)))
+                break
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def tp_spec(path, leaf, mesh: Mesh) -> P:
+    """PartitionSpec for one state leaf under the TP rules (replicated
+    unless a rule matches and every sharded dim divides the axis)."""
+    if mesh.shape.get("model", 1) <= 1:
+        return P()
+    names = _path_names(path)
+    shape = getattr(leaf, "shape", ())
+    for suffix, spec in TP_PARAM_RULES:
+        if names[-len(suffix):] != suffix or len(shape) != len(spec):
+            continue
+        if all(ax is None or shape[d] % mesh.shape[ax] == 0
+               for d, ax in enumerate(spec)):
+            return spec
+    return P()
+
+
+def shard_state(tree, mesh: Mesh):
+    """Place a train state (or params pytree) onto the mesh: TP rules
+    for the big tables, replicated otherwise."""
+    def place(path, x):
+        return jax.device_put(x, NamedSharding(mesh, tp_spec(path, x, mesh)))
+    return jax.tree_util.tree_map_with_path(place, tree)

@@ -22,7 +22,8 @@ from ..data.batching import (iterate_batches, iterate_batches_bucketed,
                              prefetch)
 from ..data.build import DataBundle
 from .distributed_metrics import reduce_dict
-from ..parallel.mesh import is_main_process, make_mesh, shard_batch, replicate
+from ..parallel.mesh import (is_main_process, make_mesh, shard_batch,
+                             shard_state)
 from ..utils.profiling import StepProfiler, trace
 from .checkpoint import CheckpointManager
 from .metrics import AverageMeter, ProgressMeter, StepTimer
@@ -39,7 +40,8 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.data = data
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_data_shards)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.num_data_shards, num_model=cfg.model_parallel)
         # per-host input sharding (DistributedSampler parity,
         # datasets/build.py:44-49: the reference wraps *both* train and
         # valid in DistributedSampler, so validation shards too)
@@ -57,11 +59,20 @@ class Trainer:
                 data.datasets["train"], data.collators["train"]))
             state = create_train_state(self.model, self.optimizer,
                                        sample_batch, cfg)
-        self.state = replicate(state, self.mesh)
+        # replicated everywhere except the TP-ruled tables when
+        # cfg.model_parallel > 1 (identical to full replication at 1)
+        self.state = shard_state(state, self.mesh)
 
         donate = (0,) if cfg.donate_state else ()
+        # pin the output state to the input placement: without this the
+        # partitioner may re-replicate the TP-sharded tables after the
+        # update, silently degrading model_parallel > 1 to DP after one
+        # step (pinned by test_tp_sharded_step_matches_replicated)
+        state_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
+                                                 self.state)
         self.train_step = jax.jit(make_train_step(self.model, self.optimizer, cfg),
-                                  donate_argnums=donate)
+                                  donate_argnums=donate,
+                                  out_shardings=(state_shardings, None))
         self.eval_step = jax.jit(make_eval_step(self.model, cfg))
         self.ckpt = CheckpointManager(cfg.output_dir)
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -205,5 +216,5 @@ class Trainer:
         model-only when evaluating, main.py:131)."""
         state, start_epoch, ckpt_cfg = self.ckpt.restore(
             path, jax.device_get(self.state), model_only=model_only)
-        self.state = replicate(state, self.mesh)
+        self.state = shard_state(state, self.mesh)
         return start_epoch, ckpt_cfg

@@ -151,3 +151,81 @@ def test_bucketed_multidevice_step_parity():
                      jax.tree_util.tree_leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-3, atol=5e-5)
+
+
+def test_tp_rules_shard_only_divisible_tables():
+    """tp_spec: path-suffix match + divisibility gate (mesh.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from isubgvqa_tpu.parallel.mesh import shard_state, tp_spec
+
+    mesh = make_mesh(4, num_model=2)
+    tree = {
+        "question_encoder": {"token_embedding": {"embedding": np.zeros((16, 4))}},
+        "logit_fc": {"kernel": np.zeros((8, 5)), "bias": np.zeros((5,))},
+        "position_embedding": {"embedding": np.zeros((16, 4))},
+        "odd": {"token_embedding": {"embedding": np.zeros((15, 4))}},
+    }
+    placed = shard_state(tree, mesh)
+    def spec(x):
+        return x.sharding.spec
+    assert spec(placed["question_encoder"]["token_embedding"]["embedding"]) \
+        == P("model", None)
+    assert spec(placed["logit_fc"]["kernel"]) == P("model", None)
+    assert spec(placed["logit_fc"]["bias"]) == P()          # no rule
+    assert spec(placed["position_embedding"]["embedding"]) == P()
+    assert spec(placed["odd"]["token_embedding"]["embedding"]) == P()  # 15 % 2
+    # model=1 mesh: everything replicated (shard_state == replicate)
+    mesh1 = make_mesh()
+    p1 = shard_state(tree, mesh1)
+    assert all(l.sharding.spec == P()
+               for l in jax.tree_util.tree_leaves(p1))
+
+
+def test_tp_sharded_step_matches_replicated(setup):
+    """DPxTP (4x2 mesh, big tables + Adam moments row-sharded over
+    `model`) runs the SAME jitted step as pure DP and matches it —
+    GSPMD partitioning from placement alone (parallel/mesh.py
+    TP_PARAM_RULES; cfg.model_parallel wiring in train/loop.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from isubgvqa_tpu.parallel.mesh import shard_state
+
+    cfg, model, optimizer, state, batch = setup
+    train_step = jax.jit(make_train_step(model, optimizer, cfg))
+    rng = jax.random.PRNGKey(0)
+
+    mesh_dp = make_mesh()
+    s1, m1 = train_step(replicate(state, mesh_dp),
+                        shard_batch(batch, mesh_dp), rng)
+
+    mesh_tp = make_mesh(4, num_model=2)
+    state_tp = shard_state(state, mesh_tp)
+    # the Trainer pins the output state to the input placement — the
+    # partitioner otherwise re-replicates the updated tables
+    # (train/loop.py:66-75)
+    tp_shardings = jax.tree_util.tree_map(lambda x: x.sharding, state_tp)
+    train_step = jax.jit(make_train_step(model, optimizer, cfg),
+                         out_shardings=(tp_shardings, None))
+    n_sharded = sum(
+        1 for l in jax.tree_util.tree_leaves(state_tp)
+        if getattr(l, "sharding", None) is not None
+        and l.sharding.spec == P("model", None))
+    # token_embedding + logit_fc kernel in params, mirrored in Adam
+    # mu and nu: at least 6 leaves actually sharded
+    assert n_sharded >= 6, f"TP rules matched only {n_sharded} leaves"
+    s2, m2 = train_step(state_tp, shard_batch(batch, mesh_tp), rng)
+
+    np.testing.assert_allclose(float(m1["loss_sum"]), float(m2["loss_sum"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["correct"]), float(m2["correct"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    # updated TP leaves keep their sharding (no silent re-replication)
+    n_after = sum(
+        1 for l in jax.tree_util.tree_leaves(s2)
+        if getattr(l, "sharding", None) is not None
+        and l.sharding.spec == P("model", None))
+    assert n_after >= 6
