@@ -147,3 +147,35 @@ def test_profile_dir_produces_trace(tmp_path):
     trace_files = list(prof_dir.rglob("*"))
     assert any(f.is_file() for f in trace_files), \
         "profile_dir set but no trace captured"
+
+
+def test_trainer_model_parallel_wiring(tmp_path):
+    """cfg.model_parallel=2 -> (4 data x 2 model) mesh, TP-sharded
+    tables survive a full fit() epoch (train/loop.py pins the step's
+    out_shardings; placement rules in parallel/mesh.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from isubgvqa_tpu.data.build import build_datasets
+    from isubgvqa_tpu.train.loop import Trainer
+
+    cfg = dataclasses.replace(
+        small_cfg(), synthetic=True, synthetic_size=16, meta_dir="",
+        batch_size=8, epochs=1, model_parallel=2,
+        general_hidden_dim=32, text_emb_dim=64,
+        output_dir=str(tmp_path / "out"),
+        bucket_node_caps=(), bucket_question_lens=())
+    data = build_datasets(cfg)
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
+    model = build_model(cfg, data.vocab)
+    trainer = Trainer(cfg, model, data)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+
+    def tp_leaves(state):
+        return sum(1 for l in jax.tree_util.tree_leaves(state)
+                   if getattr(l, "sharding", None) is not None
+                   and l.sharding.spec == P("model", None))
+
+    assert tp_leaves(trainer.state) >= 6
+    trainer.fit()
+    assert tp_leaves(trainer.state) >= 6, \
+        "TP placement lost across train steps"
