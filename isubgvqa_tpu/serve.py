@@ -62,8 +62,6 @@ class Predictor:
         self.tokenizer = build_tokenizer(cfg.clip_tokenizer_dir,
                                          max_len=cfg.question_len,
                                          vocab_size=cfg.text_vocab_size)
-        # batch_size -> bucket-key -> Collator
-        self._spec_cache: Dict[int, Dict[tuple, Collator]] = {}
         self.last_batch_shapes: List[tuple] = []
 
         model = self.model
@@ -141,11 +139,20 @@ class Predictor:
         """Size-bucketed collators (one jit specialization per bucket)
         so small graphs / short questions don't pay the largest caps'
         padding — the Trainer/explain-runner economics applied to
-        serving (``data/build.py:build_bucket_collators``)."""
-        if batch_size not in self._spec_cache:
-            self._spec_cache[batch_size] = build_bucket_collators(
-                self.cfg, self.tokenizer, self.vocab, batch_size=batch_size)
-        return self._spec_cache[batch_size]
+        serving (``data/build.py:build_bucket_collators``).
+
+        Fresh per request: unlike training datasets (whose graphs are
+        cached per image, bounding the native PackedGraphStore), every
+        ``predict`` call converts new scene graphs — a store shared
+        across requests would grow without bound in a long-running
+        server, so the store (and its collators) is scoped to the
+        request."""
+        from .native.collate import PackedGraphStore, load_collate_lib
+
+        store = PackedGraphStore() if load_collate_lib() is not None else None
+        return build_bucket_collators(self.cfg, self.tokenizer, self.vocab,
+                                      batch_size=batch_size,
+                                      packed_store=store)
 
     def predict(self, questions: Sequence[str],
                 scene_graphs: Sequence[dict],

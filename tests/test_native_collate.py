@@ -173,3 +173,31 @@ def test_tokenizer_encode_cache_is_safe():
     assert ids[0, -1] == tok.eos_id
     assert list(tok.encode(text)) == first  # cache entry not mutated
     assert tok.count_tokens(text) == len(first)
+
+
+def test_serve_store_is_request_scoped():
+    """A long-running Predictor must not accumulate per-request graphs
+    in a shared PackedGraphStore (serve.py:_collators builds a fresh
+    store per predict call)."""
+    from isubgvqa_tpu.serve import Predictor
+
+    c1 = Predictor._collators.__wrapped__ if hasattr(
+        Predictor._collators, "__wrapped__") else None
+    assert c1 is None  # not cached/memoized
+
+    class _Stub(Predictor):
+        def __init__(self):       # bypass checkpoint loading
+            from isubgvqa_tpu.config import Config
+            from isubgvqa_tpu.data.tokenizer import HashWordTokenizer
+            from isubgvqa_tpu.data.vocab import SceneGraphVocab
+            self.cfg = Config(synthetic=True, meta_dir="")
+            self.vocab = SceneGraphVocab.synthetic()
+            self.tokenizer = HashWordTokenizer(max_len=16)
+
+    p = _Stub()
+    colls_a = p._collators(4)
+    colls_b = p._collators(4)
+    store_a = next(iter(colls_a.values()))._packed
+    store_b = next(iter(colls_b.values()))._packed
+    assert store_a is not None and store_b is not None
+    assert store_a is not store_b
