@@ -59,8 +59,17 @@ BASELINE_QPS = 10_000.0
 NOMINAL_PEAK_TFLOPS = 197.0
 
 
+def _pack_arg(s):
+    """argparse type for kernel_pack: an int, "auto", or "none"."""
+    if s.lower() in ("none", "off"):
+        return None
+    if s.lower() == "auto":
+        return "auto"
+    return int(s)
+
+
 def _cfg(sampler: str, batch_size: int, dtype: str,
-         node_caps=(16, 32, 64, 128), kernel_pack=None):
+         node_caps=(16, 32, 64, 128), kernel_pack="auto"):
     from isubgvqa_tpu.config import Config
 
     return Config(
@@ -237,7 +246,7 @@ def _time_stream(run_one, batches) -> float:
 
 def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
                     iters: int = 12, dtype: str = "bfloat16",
-                    node_caps=(16, 32, 64, 128), kernel_pack=None):
+                    node_caps=(16, 32, 64, 128), kernel_pack="auto"):
     """-> dict with blended qps/chip, per-bucket breakdown, exact MFU."""
     cfg = _cfg(sampler, batch_size, dtype, node_caps, kernel_pack)
     (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
@@ -296,7 +305,7 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
 
 def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
               iters: int = 12, dtype: str = "bfloat16",
-              node_caps=(16, 32, 64, 128), kernel_pack=None,
+              node_caps=(16, 32, 64, 128), kernel_pack="auto",
               epochs: int = 3):
     """End-to-end inference pipeline throughput: the REAL bucketed
     iterator (native C++ collate + prefetch thread + host->device
@@ -422,6 +431,9 @@ def _round_tree(x):
 
 
 def main():
+    from isubgvqa_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="bench all samplers + train steps; write "
@@ -435,12 +447,13 @@ def main():
     ap.add_argument("--node-caps", type=int, nargs="+",
                     default=[16, 32, 64, 128],
                     help="bucket node caps to measure (experimentation)")
-    ap.add_argument("--pack", type=int, default=None,
-                    help="graphs per fused-GAT grid program "
-                         "(cfg.kernel_pack; experimentation)")
-    ap.add_argument("--train-pack", type=int, default=None,
+    ap.add_argument("--pack", type=_pack_arg, default="auto",
+                    help="graphs per fused-GAT grid program: an int, "
+                         "'auto' (default; per-shape heuristic) or "
+                         "'none' (cfg.kernel_pack)")
+    ap.add_argument("--train-pack", type=_pack_arg, default="auto",
                     help="kernel_pack for the --full training-step "
-                         "benches (experimentation)")
+                         "benches (int, 'auto' or 'none')")
     ap.add_argument("--train-batch", type=int, default=256,
                     help="training-step batch size (default = the "
                          "reference's bs 256; raise to measure the "

@@ -128,7 +128,9 @@ def main(argv=None) -> None:
         pathlib.Path(cfg.output_dir).mkdir(parents=True, exist_ok=True)
 
     from .parallel.mesh import init_multihost, is_main_process
+    from .utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     init_multihost()
     if cfg.output_dir and is_main_process():   # main.py:60-66
         logging.basicConfig(

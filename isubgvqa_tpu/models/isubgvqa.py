@@ -116,6 +116,7 @@ class ISubGVQA(nn.Module):
             sg_emb_dim=hid,
             vocab_vectors=self.sg_vocab_vectors,
             bn_axis_name=self.bn_axis_name, use_pallas=cfg.use_pallas,
+            pack=cfg.kernel_pack,
             dtype=dtype, name="scene_graph_encoder",
         )(batch, deterministic=not train,
           expl_x_embed_sum=(expl_bypass_x

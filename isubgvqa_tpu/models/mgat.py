@@ -51,7 +51,7 @@ projects per layer with the same weights.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -102,10 +102,11 @@ class MGATLayer(nn.Module):
     beta: float = 10.0
     tau: float = 1.0
     use_pallas: bool = True
-    # graphs per fused-kernel grid program (None = 1), for both the
-    # inference kernel and the trainable conv; each kernel clamps the
-    # knob to its per-program VMEM caps
-    pack: Optional[int] = None
+    # graphs per fused-kernel grid program ("auto" = per-shape
+    # heuristic, None = 1), for both the inference kernel and the
+    # trainable conv; each kernel clamps the knob to its per-program
+    # VMEM caps
+    pack: Union[int, str, None] = None
     dtype: Optional[jnp.dtype] = None
 
     def _params(self):
@@ -264,7 +265,7 @@ class MGAT(nn.Module):
     beta: float = 10.0
     tau: float = 1.0
     use_pallas: bool = True
-    pack: Optional[int] = None
+    pack: Union[int, str, None] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact

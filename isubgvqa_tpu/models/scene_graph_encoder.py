@@ -22,7 +22,7 @@ Equivalent of ``SceneGraphEncoder``
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,9 @@ class SceneGraphEncoder(nn.Module):
     vocab_vectors: Optional[np.ndarray] = None   # GloVe init (host numpy)
     bn_axis_name: Optional[str] = None           # set for SyncBatchNorm parity
     use_pallas: bool = True
+    # graphs per fused-MetaLayer grid program ("auto"/int/None), same
+    # semantics as the GAT kernels' knob (cfg.kernel_pack)
+    pack: Union[int, str, None] = None
     dtype: Optional[jnp.dtype] = None
 
     def _meta_params(self):
@@ -124,11 +127,12 @@ class SceneGraphEncoder(nn.Module):
         pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
         on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
         if self.use_pallas and deterministic and on_tpu:
-            fn = fused_metalayer
+            fn = functools.partial(fused_metalayer, pack=self.pack)
         elif self.use_pallas and not deterministic \
                 and (on_tpu or gat_train.FORCE_INTERPRET):
             fn = functools.partial(fused_metalayer_train,
-                                   interpret=gat_train.FORCE_INTERPRET)
+                                   interpret=gat_train.FORCE_INTERPRET,
+                                   pack=self.pack)
         else:
             fn = metalayer_reference
         x_out, e_out = fn(x, e, batch.edge_src, batch.edge_dst,

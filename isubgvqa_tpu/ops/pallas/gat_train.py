@@ -270,13 +270,13 @@ def _prep(xf, gate, edge_mask, e_attr, params):
 
 
 def _pick_pack(n: int, e: int) -> int:
-    """Heuristic graphs-per-program for ``pack="auto"``: lift the
-    per-program matmul M/K dims toward the MXU's 128 (one 32-node
-    graph fills a quarter of the rows).  Measured on this chip the
-    packed and unpacked train steps agree within tunnel noise — like
-    the inference kernel, the layer is not MXU-bound — so the default
-    is unpacked and the capability stays behind ``pack`` (exactness
-    pinned by ``tests/test_gat_train.py``)."""
+    """Heuristic graphs-per-program for ``pack="auto"`` (the config
+    default): lift the per-program matmul M/K dims toward the MXU's
+    128 rows (one 32-node graph fills a quarter of them).  Packing
+    amortizes per-program overhead — the dominant cost on small
+    buckets (the inference kernel measures −24% whole-forward device
+    time at the (16, 16) bucket; see ``gat_kernel.fused_gat_layer``).
+    Exactness pinned by ``tests/test_gat_train.py``."""
     return max(min(128 // max(n, 1), 512 // max(e, 1), 8), 1)
 
 
@@ -495,8 +495,9 @@ def fused_gatconv(xf, gate, src, dst, edge_mask, e_attr, params,
     accuracy (pinned by ``tests/test_gat_train.py``).
 
     ``pack``: graphs per grid program (block-diagonal incidences) —
-    an int, ``"auto"`` for the shape heuristic :func:`_pick_pack`, or
-    ``None``/1 for unpacked (default; measured neutral on this chip).
+    an int, ``"auto"`` for the shape heuristic :func:`_pick_pack`
+    (the config default — per-program overhead dominates small
+    buckets), or ``None``/1 for unpacked.
     """
     return _fwd_packed(xf, gate, src, dst, edge_mask, e_attr, params,
                        negative_slope, interpret, pack)

@@ -261,27 +261,33 @@ def _metalayer_bwd_call(x, e_attr, src, dst, edge_mask, node_mask, params,
     return dx, de, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_metalayer_train(x, e_attr, src, dst, edge_mask, node_mask,
-                          params, interpret=False):
+                          params, interpret=False, pack=None):
     """Fused MetaLayer round with a Pallas backward — drop-in for
     :func:`~.metalayer_kernel.metalayer_reference` during training,
-    sharing the same parameters.  Returns ``(x_out, e_out)``."""
+    sharing the same parameters.  Returns ``(x_out, e_out)``.
+
+    ``pack`` (int / ``"auto"`` / None) packs the *forward* kernel's
+    grid programs (:func:`~.metalayer_kernel.fused_metalayer`); the
+    backward kernel runs per-graph either way (its cost is small next
+    to the four GAT conv backwards)."""
     from .metalayer_kernel import fused_metalayer
 
     return fused_metalayer(x, e_attr, src, dst, edge_mask, node_mask,
-                           params, interpret=interpret)
+                           params, interpret=interpret, pack=pack)
 
 
-def _vjp_fwd(x, e_attr, src, dst, edge_mask, node_mask, params, interpret):
+def _vjp_fwd(x, e_attr, src, dst, edge_mask, node_mask, params, interpret,
+             pack):
     from .metalayer_kernel import fused_metalayer
 
     out = fused_metalayer(x, e_attr, src, dst, edge_mask, node_mask,
-                          params, interpret=interpret)
+                          params, interpret=interpret, pack=pack)
     return out, (x, e_attr, src, dst, edge_mask, node_mask, params)
 
 
-def _vjp_bwd(interpret, residuals, cts):
+def _vjp_bwd(interpret, pack, residuals, cts):
     x, e_attr, src, dst, edge_mask, node_mask, params = residuals
     dxo, deo = cts
     dx, de, dparams = _metalayer_bwd_call(

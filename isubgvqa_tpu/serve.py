@@ -49,6 +49,9 @@ class Predictor:
     def __init__(self, cfg: Config, params, batch_stats,
                  vocab: SceneGraphVocab, answers: AnswerMap,
                  aimle_states=None, topk: int = 5):
+        from .utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.vocab = vocab
         self.answers = answers

@@ -44,6 +44,10 @@ def main(argv=None):
 
     import jax
 
+    from isubgvqa_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from isubgvqa_tpu.data.build import build_datasets
     from isubgvqa_tpu.explain import run_token_coo_exp
     from isubgvqa_tpu.models.build import build_model

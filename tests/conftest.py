@@ -13,9 +13,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's in-process collectives CHECK-abort ("Termination timeout
+# for `all reduce ...` of 40 seconds exceeded") when the 8 per-device
+# computations can't all reach the rendezvous in 40 s — which a full
+# sharded train step easily exceeds on a 1-core host.  Raise the
+# termination timeout so slow machines time out the *test*, not the
+# process (the abort killed the whole suite, misread for two sessions
+# as external SIGABRT/contention).
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+os.environ["XLA_FLAGS"] = _flags
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 

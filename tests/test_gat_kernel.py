@@ -103,6 +103,21 @@ def test_explicit_pack_matches_reference(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_auto_pack_matches_reference(rng):
+    """pack="auto" (the config default) resolves a per-shape packing
+    and must stay exact vs the unpacked kernel and the reference."""
+    fa, ra = make_inputs(rng, b=7, n=16, e=40)
+    out_k, alpha_k = fused_gat_layer(**fa, interpret=True, pack="auto")
+    out_r, alpha_r = gat_layer_reference(**ra)
+    out_1, _ = fused_gat_layer(**fa, interpret=True, pack=None)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(alpha_k), np.asarray(alpha_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_1),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fuse_instr_in_kernel_matches_reference(rng):
     """fuse_instr computes gelu(h * instr) in VMEM; must equal the
     reference fed the externally computed xf (mgat_v2_conv.py:152-157),

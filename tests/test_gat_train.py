@@ -336,6 +336,37 @@ def test_fused_gatconv_packed_grads_match(rng):
             rtol=5e-4, atol=5e-4, err_msg=f"params[{key}]")
 
 
+def test_fused_gatconv_auto_pack_grads_match(rng):
+    """pack="auto" (the config default) must stay gradient-exact vs
+    the reference — the heuristic only changes program layout."""
+    fa, _ = make_inputs(rng, b=5)
+    diff, static = _split_args(fa)
+    b, e, _ = fa["e_attr"].shape
+    n = fa["xf"].shape[1]
+    hc = diff["params"]["wl"].shape[1]
+    h = diff["params"]["attb"].shape[1]
+    wc = jnp.asarray(rng.normal(size=(b, n, hc)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(b, e, h)).astype(np.float32))
+
+    def loss_auto(xf, gate, e_attr, params):
+        conv, alpha = fused_gatconv(xf, gate, static["src"], static["dst"],
+                                    static["edge_mask"], e_attr, params,
+                                    0.2, True, "auto")
+        return jnp.sum(conv * wc) + jnp.sum(alpha * wa)
+
+    g_auto = jax.grad(loss_auto, argnums=(0, 1, 2, 3))(
+        diff["xf"], diff["gate"], diff["e_attr"], diff["params"])
+    g_ref = jax.grad(_ref_conv_loss(static, wc, wa), argnums=(0, 1, 2, 3))(
+        diff["xf"], diff["gate"], diff["e_attr"], diff["params"])
+    for gk, gr in zip(g_auto[:3], g_ref[:3]):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4)
+    for key in g_ref[3]:
+        np.testing.assert_allclose(
+            np.asarray(g_auto[3][key]), np.asarray(g_ref[3][key]),
+            rtol=5e-4, atol=5e-4, err_msg=f"params[{key}]")
+
+
 def test_fused_gatconv_oversized_pack_clamps(rng):
     """An explicit int pack beyond the per-program caps (128 nodes /
     512 edges) is clamped, not lowered as-is — one config knob

@@ -54,6 +54,56 @@ def test_metalayer_kernel_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_metalayer_packing_is_exact(rng):
+    """Packing G graphs per program (block-diagonal incidences + a
+    [N, G] graph one-hot for the GraphNorm stats) must match the
+    unpacked kernel and the reference, including when B % pack != 0
+    (padded all-masked graphs)."""
+    args = make_inputs(rng, b=5)
+    x1, e1 = fused_metalayer(*args, interpret=True, pack=None)
+    xr, er = metalayer_reference(*args)
+    for pack in (2, 3, "auto"):
+        xp, ep = fused_metalayer(*args, interpret=True, pack=pack)
+        np.testing.assert_allclose(np.asarray(xp), np.asarray(x1),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pack={pack} vs unpacked")
+        np.testing.assert_allclose(np.asarray(ep), np.asarray(e1),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pack={pack} vs unpacked")
+        np.testing.assert_allclose(np.asarray(xp), np.asarray(xr),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pack={pack} vs reference")
+
+
+def test_metalayer_train_packed_forward_and_grads(rng):
+    """fused_metalayer_train with a packed forward stays gradient-
+    exact: the backward kernel consumes unpacked residual inputs, so
+    packing must not perturb the VJP."""
+    import jax
+
+    from isubgvqa_tpu.ops.pallas.metalayer_train import fused_metalayer_train
+
+    x, eattr, src, dst, em, nm, params = make_inputs(rng, b=3)
+
+    def loss(fn, pack):
+        def f(x_, e_, p_):
+            xo, eo = fn(x_, e_, src, dst, em, nm, p_, True, pack)
+            return jnp.sum(xo * xo) + jnp.sum(eo)
+        return f
+
+    g_1 = jax.grad(loss(fused_metalayer_train, None),
+                   argnums=(0, 1, 2))(x, eattr, params)
+    g_p = jax.grad(loss(fused_metalayer_train, 3),
+                   argnums=(0, 1, 2))(x, eattr, params)
+    for a, b_ in zip(g_1[:2], g_p[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4)
+    for k in g_1[2]:
+        np.testing.assert_allclose(np.asarray(g_1[2][k]),
+                                   np.asarray(g_p[2][k]),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
+
+
 def test_metalayer_bf16_ship_path(rng):
     """bf16 inputs exercise the bf16 HBM<->VMEM shipping branch in
     interpret mode (bf16 refs + bf16 out blocks)."""
