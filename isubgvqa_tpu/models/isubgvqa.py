@@ -79,7 +79,8 @@ class ISubGVQA(nn.Module):
         enc = QuestionEncoder(
             dim=tdim, num_heads=cfg.num_heads, ffn_dim=4 * 512,
             num_layers=cfg.encoder_layers, dropout=cfg.dropout,
-            vocab_size=cfg.text_vocab_size, dtype=dtype,
+            vocab_size=cfg.text_vocab_size, use_pallas=cfg.use_pallas,
+            dtype=dtype,
             name="question_encoder",
         )(batch.qst_tokens, batch.qst_mask, deterministic=not train)
 
@@ -102,7 +103,8 @@ class ISubGVQA(nn.Module):
         qst_feats = QuestionDecoder(
             n_instructions=cfg.mgat_layers, dim=tdim, num_heads=cfg.num_heads,
             ffn_dim=4 * 512, num_layers=cfg.decoder_layers,
-            dropout=cfg.dropout, dtype=dtype, name="program_decoder",
+            dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=dtype,
+            name="program_decoder",
         )(enc, deterministic=not train)             # [B, n_instr, 512]
 
         # global language feature (isubgvqa.py:244-247; see module doc)

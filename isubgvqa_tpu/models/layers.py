@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import dtypes as flax_dtypes
 
 
 class MLP(nn.Module):
@@ -54,6 +55,56 @@ class PositionalEncoding(nn.Module):
         return x + pe[None, : x.shape[1]]
 
 
+class DenseParams(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s subtree
+    (``{kernel, bias}``, lecun-normal/zeros init) so the same params
+    serve both the XLA composition and the fused text kernels
+    (``ops/pallas/text_kernel.py``) — checkpoint trees and init draws
+    stay identical to the previous ``nn.Dense`` modules."""
+
+    in_dim: int
+    out_dim: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_dim, self.out_dim))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.out_dim,))
+
+
+class LNParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm``'s subtree
+    (``{scale, bias}``)."""
+
+    dim: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+
+def dense_apply(x, kernel, bias, dtype):
+    """``nn.Dense.__call__`` numerics: promote operands to ``dtype``
+    (flax semantics — bf16 models round operands, f32 models no-op),
+    dot, add bias."""
+    x, kernel, bias = flax_dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    y = jax.lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+    return y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+
+
+def ln_apply(x, scale, bias, dtype, eps: float = 1e-6):
+    """``nn.LayerNorm`` numerics over the last axis: f32 fast-variance
+    stats, f32 normalization arithmetic, output cast to the flax
+    canonical dtype (flax ``normalization.py``)."""
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mean = jnp.mean(xf, axis=-1)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1) - mean * mean, 0.0)
+    y = (x - mean[..., None]) * (jax.lax.rsqrt(var[..., None] + eps) * scale)
+    y = y + bias
+    return jnp.asarray(y, flax_dtypes.canonicalize_dtype(x, scale, bias,
+                                                         dtype=dtype))
+
+
 def _attention(q, k, v, bias=None, dropout_rate=0.0, deterministic=True,
                dropout_rng=None, dtype=jnp.float32):
     """Scaled dot-product attention; ``bias`` is added to the logits
@@ -74,31 +125,47 @@ def _attention(q, k, v, bias=None, dropout_rate=0.0, deterministic=True,
 
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent (joint QKV when
-    self-attending is unnecessary for parity; separate projections)."""
+    self-attending is unnecessary for parity; separate projections).
+    Params live in :class:`DenseParams` holders so the fused text
+    kernels can consume the same tree (``kernel_params``)."""
 
     num_heads: int
     dim: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        self.q = DenseParams(self.dim, self.dim)
+        self.k = DenseParams(self.dim, self.dim)
+        self.v = DenseParams(self.dim, self.dim)
+        self.out = DenseParams(self.dim, self.dim)
+
     def __call__(self, q_in, k_in, v_in, bias=None, deterministic=True):
         h, d = self.num_heads, self.dim // self.num_heads
         dtype = self.dtype or q_in.dtype
 
-        def proj(x, name):
-            return nn.Dense(self.dim, dtype=self.dtype, name=name)(x).reshape(
+        def proj(x, p):
+            return dense_apply(x, p.kernel, p.bias, self.dtype).reshape(
                 x.shape[0], x.shape[1], h, d
             ).transpose(0, 2, 1, 3)
 
-        q = proj(q_in, "q")
-        k = proj(k_in, "k")
-        v = proj(v_in, "v")
+        q = proj(q_in, self.q)
+        k = proj(k_in, self.k)
+        v = proj(v_in, self.v)
         rng = self.make_rng("dropout") if (not deterministic and self.dropout > 0) else None
         out = _attention(q, k, v, bias=bias, dropout_rate=self.dropout,
                          deterministic=deterministic, dropout_rng=rng, dtype=dtype)
         out = out.transpose(0, 2, 1, 3).reshape(q_in.shape[0], q_in.shape[1], self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
+        return dense_apply(out, self.out.kernel, self.out.bias, self.dtype)
+
+    def kernel_params(self, prefix: str = ""):
+        """Projection params keyed for the fused text kernels."""
+        return {
+            prefix + "wq": self.q.kernel, prefix + "bq": self.q.bias,
+            prefix + "wk": self.k.kernel, prefix + "bk": self.k.bias,
+            prefix + "wv": self.v.kernel, prefix + "bv": self.v.bias,
+            prefix + "wo": self.out.kernel, prefix + "bo": self.out.bias,
+        }
 
 
 class PostLNTransformerLayer(nn.Module):
@@ -111,19 +178,36 @@ class PostLNTransformerLayer(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
 
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, self.dim,
+                                            self.dropout, dtype=self.dtype)
+        self.norm1 = LNParams(self.dim)
+        self.ffn1 = DenseParams(self.dim, self.ffn_dim)
+        self.ffn2 = DenseParams(self.ffn_dim, self.dim)
+        self.norm2 = LNParams(self.dim)
+
     @nn.compact
     def __call__(self, x, key_bias=None, deterministic=True):
-        attn = MultiHeadAttention(self.num_heads, self.dim, self.dropout,
-                                  dtype=self.dtype, name="self_attn")(
-            x, x, x, bias=key_bias, deterministic=deterministic)
+        attn = self.self_attn(x, x, x, bias=key_bias,
+                              deterministic=deterministic)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(x)
+        x = ln_apply(x + attn, self.norm1.scale, self.norm1.bias, self.dtype)
+        y = dense_apply(x, self.ffn1.kernel, self.ffn1.bias, self.dtype)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(y)
+        y = dense_apply(y, self.ffn2.kernel, self.ffn2.bias, self.dtype)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+        return ln_apply(x + y, self.norm2.scale, self.norm2.bias, self.dtype)
+
+    def kernel_params(self):
+        """Param dict for ``text_kernel.fused_encoder_layer``."""
+        return {
+            **self.self_attn.kernel_params(),
+            "n1s": self.norm1.scale, "n1b": self.norm1.bias,
+            "w1": self.ffn1.kernel, "b1": self.ffn1.bias,
+            "w2": self.ffn2.kernel, "b2": self.ffn2.bias,
+            "n2s": self.norm2.scale, "n2b": self.norm2.bias,
+        }
 
 
 class PostLNDecoderLayer(nn.Module):
@@ -137,24 +221,47 @@ class PostLNDecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
 
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, self.dim,
+                                            self.dropout, dtype=self.dtype)
+        self.norm1 = LNParams(self.dim)
+        self.cross_attn = MultiHeadAttention(self.num_heads, self.dim,
+                                             self.dropout, dtype=self.dtype)
+        self.norm2 = LNParams(self.dim)
+        self.ffn1 = DenseParams(self.dim, self.ffn_dim)
+        self.ffn2 = DenseParams(self.ffn_dim, self.dim)
+        self.norm3 = LNParams(self.dim)
+
     @nn.compact
     def __call__(self, tgt, memory, memory_bias=None, deterministic=True):
-        sa = MultiHeadAttention(self.num_heads, self.dim, self.dropout,
-                                dtype=self.dtype, name="self_attn")(
-            tgt, tgt, tgt, deterministic=deterministic)
+        sa = self.self_attn(tgt, tgt, tgt, deterministic=deterministic)
         sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
-        ca = MultiHeadAttention(self.num_heads, self.dim, self.dropout,
-                                dtype=self.dtype, name="cross_attn")(
-            tgt, memory, memory, bias=memory_bias, deterministic=deterministic)
+        tgt = ln_apply(tgt + sa, self.norm1.scale, self.norm1.bias,
+                       self.dtype)
+        ca = self.cross_attn(tgt, memory, memory, bias=memory_bias,
+                             deterministic=deterministic)
         ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ca)
-        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(tgt)
+        tgt = ln_apply(tgt + ca, self.norm2.scale, self.norm2.bias,
+                       self.dtype)
+        y = dense_apply(tgt, self.ffn1.kernel, self.ffn1.bias, self.dtype)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(y)
+        y = dense_apply(y, self.ffn2.kernel, self.ffn2.bias, self.dtype)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
+        return ln_apply(tgt + y, self.norm3.scale, self.norm3.bias,
+                        self.dtype)
+
+    def kernel_params(self):
+        """Param dict for ``text_kernel.fused_decoder_layer``."""
+        return {
+            **self.self_attn.kernel_params("s"),
+            "n1s": self.norm1.scale, "n1b": self.norm1.bias,
+            **self.cross_attn.kernel_params("c"),
+            "n2s": self.norm2.scale, "n2b": self.norm2.bias,
+            "w1": self.ffn1.kernel, "b1": self.ffn1.bias,
+            "w2": self.ffn2.kernel, "b2": self.ffn2.bias,
+            "n3s": self.norm3.scale, "n3b": self.norm3.bias,
+        }
 
 
 class GraphNorm(nn.Module):

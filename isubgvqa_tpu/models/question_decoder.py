@@ -12,24 +12,32 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PostLNDecoderLayer
+from .layers import LNParams, PostLNDecoderLayer, ln_apply
 
 
 class QuestionDecoder(nn.Module):
+    """On TPU the deterministic (eval) path runs the fused Pallas
+    decoder-layer kernels (``ops/pallas/text_kernel.py``); training
+    keeps the XLA composition (live dropout), sharing the params."""
+
     n_instructions: int = 4
     dim: int = 512
     num_heads: int = 8
     ffn_dim: int = 2048
     num_layers: int = 3
     dropout: float = 0.1
+    use_pallas: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, memory, deterministic=True):
         """memory [B, L, D] -> instruction vectors [B, n_instr, D]."""
+        from ..ops.pallas import text_kernel
+
         b = memory.shape[0]
         queries = self.param(
             "query_embed", nn.initializers.normal(1.0),
@@ -37,9 +45,31 @@ class QuestionDecoder(nn.Module):
         )
         tgt = jnp.broadcast_to(queries[None], (b,) + queries.shape)
         tgt = tgt.astype(memory.dtype)
-        for i in range(self.num_layers):
-            tgt = PostLNDecoderLayer(self.dim, self.num_heads, self.ffn_dim,
+        layers = [PostLNDecoderLayer(self.dim, self.num_heads, self.ffn_dim,
                                      self.dropout, dtype=self.dtype,
-                                     name=f"layer{i}")(
-                tgt, memory, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(tgt)
+                                     name=f"layer{i}")
+                  for i in range(self.num_layers)]
+        final = LNParams(self.dim, name="final_norm")
+
+        dd = jax.config.jax_default_device
+        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
+        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        # the f32 decoder's weight blocks (2 MHA + FFN) exceed the
+        # per-program VMEM budget; the fused path runs for bf16 models
+        # (and under test interpret mode)
+        run_fused = (self.use_pallas and deterministic
+                     and ((on_tpu and memory.dtype == jnp.bfloat16)
+                          or text_kernel.FORCE_INTERPRET))
+        if run_fused:
+            for i, layer in enumerate(layers):
+                last = i == self.num_layers - 1
+                tgt = text_kernel.fused_decoder_layer(
+                    tgt, memory, layer.kernel_params(),
+                    num_heads=self.num_heads,
+                    final_ln=(final.scale, final.bias) if last else None,
+                    interpret=text_kernel.FORCE_INTERPRET)
+            return tgt
+
+        for layer in layers:
+            tgt = layer(tgt, memory, deterministic=deterministic)
+        return ln_apply(tgt, final.scale, final.bias, self.dtype)

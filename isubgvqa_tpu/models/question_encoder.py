@@ -16,10 +16,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PostLNTransformerLayer
+from .layers import LNParams, PostLNTransformerLayer, ln_apply
 
 
 class TextEmbedding(nn.Module):
@@ -42,7 +43,12 @@ class TextEmbedding(nn.Module):
 class QuestionEncoder(nn.Module):
     """4-layer post-LN transformer encoder, d=512, 8 heads, ffn 2048,
     final LayerNorm (``isubgvqa.py:126-134``,
-    ``question_encoder.py:22-25``)."""
+    ``question_encoder.py:22-25``).
+
+    On TPU the deterministic (eval) path runs the fused Pallas layer
+    kernels (``ops/pallas/text_kernel.py``) — the final LayerNorm folds
+    into the last layer's kernel call; training keeps the XLA
+    composition (live dropout), sharing the same params."""
 
     dim: int = 512
     num_heads: int = 8
@@ -50,20 +56,42 @@ class QuestionEncoder(nn.Module):
     num_layers: int = 4
     dropout: float = 0.1
     vocab_size: int = 49408
+    use_pallas: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, ids, attn_mask, deterministic=True):
         """ids [B, L], attn_mask [B, L] (1 = real) -> encoded [B, L, D]."""
+        from ..ops.pallas import text_kernel
+
         x = TextEmbedding(self.vocab_size, self.dim, dtype=self.dtype,
                           name="text_vocab_embedding")(ids)
+        layers = [PostLNTransformerLayer(self.dim, self.num_heads,
+                                         self.ffn_dim, self.dropout,
+                                         dtype=self.dtype, name=f"layer{i}")
+                  for i in range(self.num_layers)]
+        final = LNParams(self.dim, name="final_norm")
+
+        dd = jax.config.jax_default_device
+        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
+        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        run_fused = (self.use_pallas and deterministic
+                     and (on_tpu or text_kernel.FORCE_INTERPRET))
+        if run_fused:
+            mask_f = attn_mask.astype(jnp.float32)
+            for i, layer in enumerate(layers):
+                last = i == self.num_layers - 1
+                x = text_kernel.fused_encoder_layer(
+                    x, mask_f, layer.kernel_params(),
+                    num_heads=self.num_heads,
+                    final_ln=(final.scale, final.bias) if last else None,
+                    interpret=text_kernel.FORCE_INTERPRET)
+            return x
+
         # emb_proj + PositionalEncoding exist in the reference but are
         # bypassed in its live path (question_encoder.py:33-34); omitted.
         # float key-padding mask is ADDED to logits (see module doc)
         key_bias = attn_mask.astype(jnp.float32)[:, None, None, :]
-        for i in range(self.num_layers):
-            x = PostLNTransformerLayer(self.dim, self.num_heads, self.ffn_dim,
-                                       self.dropout, dtype=self.dtype,
-                                       name=f"layer{i}")(
-                x, key_bias=key_bias, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        for layer in layers:
+            x = layer(x, key_bias=key_bias, deterministic=deterministic)
+        return ln_apply(x, final.scale, final.bias, self.dtype)
