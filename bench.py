@@ -180,11 +180,15 @@ def _flops_per_exec(fn, *args) -> float:
 
 def _kernel_flops_per_batch(cfg, batch) -> float:
     """Analytic FLOPs of the Pallas kernels XLA cost_analysis cannot
-    see: 4 fused GAT layers + 1 fused MetaLayer at inference.
+    see: 4 fused GAT layers + 1 fused MetaLayer + the fused question
+    stack (4 encoder + 3 decoder transformer layers) at inference.
     Validated against the op-by-op XLA path's cost analysis (within
-    1%; see module docstring)."""
+    1-2%; see module docstring and
+    test_text_flops_model_matches_xla_cost_analysis)."""
     from isubgvqa_tpu.ops.pallas.gat_kernel import (fused_gat_layer_flops,
                                                    metalayer_kernel_flops)
+    from isubgvqa_tpu.ops.pallas.text_kernel import (
+        text_stack_flops_per_batch)
     b, n = batch.node_tokens.shape[:2]
     e = batch.edge_src.shape[1]
     masked_layers = sum(1 for m in cfg.mgat_masks if m != 1.0)
@@ -192,7 +196,12 @@ def _kernel_flops_per_batch(cfg, batch) -> float:
     per_graph = (unmasked * fused_gat_layer_flops(n, e, fuse_instr=True)
                  + masked_layers * fused_gat_layer_flops(n, e)
                  + metalayer_kernel_flops(n, e))
-    return b * per_graph
+    text = text_stack_flops_per_batch(
+        b, batch.qst_tokens.shape[1], t=cfg.mgat_layers,
+        d=cfg.text_emb_dim, f=4 * 512, heads=cfg.num_heads,
+        enc_layers=cfg.encoder_layers, dec_layers=cfg.decoder_layers,
+        bf16=cfg.compute_dtype == "bfloat16")
+    return b * per_graph + text
 
 
 def _train_kernel_flops_per_batch(cfg, batch) -> float:
@@ -340,13 +349,12 @@ def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
     for ep in range(epochs):
         it = prefetch(iterate_batches_bucketed(
             ds, collators, shuffle=True, seed=100 + ep, drop_last=False),
-            depth=2)
+            depth=3, device=dev)
         in_flight = []
         n_q = 0
         t0 = time.perf_counter()
         for batch, meta in it:
-            in_flight.append(forward(params, jax.device_put(batch, dev),
-                                     key))
+            in_flight.append(forward(params, batch, key))
             n_q += meta.num_real
             if len(in_flight) > 4:        # bounded pipelined dispatch
                 jax.block_until_ready(in_flight.pop(0))

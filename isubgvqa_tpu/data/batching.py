@@ -413,7 +413,7 @@ def iterate_batches_bucketed(
                 [dataset[t] for t in group[shard_index]])
 
 
-def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+def prefetch(iterator: Iterator, depth: int = 2, device=None) -> Iterator:
     """Run ``iterator`` in a background thread, keeping up to ``depth``
     ready batches in a queue — the host collates the next batch while
     the device executes the current step (the reference gets this from
@@ -421,9 +421,24 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     Exceptions in the producer re-raise at the consuming site.  When
     the consumer stops early (``break``, exception, generator close),
     the producer is signalled and exits instead of parking on the
-    queue with buffered batches for the life of the process."""
+    queue with buffered batches for the life of the process.
+
+    ``device``: optionally ``jax.device_put`` each yielded item's first
+    element (the batch of a ``(batch, meta)`` pair, or the item itself)
+    onto that device *in the producer thread*, so the host→device copy
+    overlaps with the consumer's dispatch instead of serializing with
+    it (the reference's ``pin_memory=True`` + ``.to(device)`` split
+    plays the same role)."""
     import queue
     import threading
+
+    def put_on_device(item):
+        if device is None:
+            return item
+        if isinstance(item, tuple) and len(item) == 2:
+            batch, meta = item
+            return jax.device_put(batch, device), meta
+        return jax.device_put(item, device)
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
@@ -441,7 +456,7 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     def producer():
         try:
             for item in iterator:
-                if not guarded_put(item):
+                if not guarded_put(put_on_device(item)):
                     return
             guarded_put(_END)
         except BaseException as exc:        # noqa: BLE001 — re-raised

@@ -296,6 +296,94 @@ def fused_encoder_layer(x, key_mask, params, *, num_heads: int = 8,
     return out.reshape(bp, l, d)[:b].astype(x.dtype)
 
 
+def _mha_flops(rq: int, rk: int, d: int, heads: int) -> float:
+    """Executed FLOPs of :func:`_mha` (matmul-exact 2·m·k·n, plus the
+    VPU elementwise work at 1 FLOP/op)."""
+    fl = 0.0
+    fl += 2 * rq * d * d + rq * d            # q projection
+    fl += 2 * (2 * rk * d * d + rk * d)      # k, v projections
+    fl += 2 * rq * rk * d                    # scores (all heads)
+    fl += rq * rk                            # × scale
+    fl += 2 * rq * rk                        # + colbias + blockmask
+    fl += 4 * rq * rk * heads                # max, sub+exp, sum, div
+    fl += 2 * rq * rk * d                    # p @ v (all heads)
+    fl += 2 * rq * d * d + rq * d            # output projection
+    return fl
+
+
+def _ln_flops(r: int, d: int) -> float:
+    """:func:`_ln`: two mean reduces, sub, rsqrt-mul-scale, bias."""
+    return 6.0 * r * d
+
+
+def fused_encoder_layer_flops(l: int, tb: int, d: int = 512,
+                              f: int = 2048, heads: int = 8,
+                              final_ln: bool = False) -> float:
+    """Executed FLOPs of one encoder-layer grid program
+    (:func:`_enc_kernel`; ``R = tb·l`` packed rows).  The packed
+    attention computes the full block-diagonal [R, R] score matrix, so
+    executed attention work scales with ``tb`` — counting it (rather
+    than the useful per-question flops) keeps MFU honest about what
+    the MXU actually does, matching the graph kernels' convention
+    (``gat_kernel.fused_gat_layer_flops``)."""
+    r = tb * l
+    fl = 3.0 * r * r                          # block mask (iota ÷, cmp)
+    fl += _mha_flops(r, r, d, heads)
+    fl += r * d + _ln_flops(r, d)             # residual + LN1
+    fl += 2 * r * d * f + r * f + r * f       # FFN in + bias + relu
+    fl += 2 * r * f * d + r * d               # FFN out + bias
+    fl += r * d + _ln_flops(r, d)             # residual + LN2
+    if final_ln:
+        fl += _ln_flops(r, d)
+    return fl
+
+
+def fused_decoder_layer_flops(l: int, t: int, tb: int, d: int = 512,
+                              f: int = 2048, heads: int = 8,
+                              final_ln: bool = False) -> float:
+    """Executed FLOPs of one decoder-layer grid program
+    (:func:`_dec_kernel`; ``Rt = tb·t`` query rows, ``Rm = tb·l``
+    memory rows)."""
+    rt, rm = tb * t, tb * l
+    fl = 3.0 * rt * rt + 3.0 * rt * rm        # two block masks
+    fl += _mha_flops(rt, rt, d, heads)        # self-attention
+    fl += rt * d + _ln_flops(rt, d)
+    fl += _mha_flops(rt, rm, d, heads)        # cross-attention
+    fl += rt * d + _ln_flops(rt, d)
+    fl += 2 * rt * d * f + 2 * rt * f         # FFN in + bias + relu
+    fl += 2 * rt * f * d + rt * d             # FFN out + bias
+    fl += rt * d + _ln_flops(rt, d)
+    if final_ln:
+        fl += _ln_flops(rt, d)
+    return fl
+
+
+def text_stack_flops_per_batch(b: int, l: int, *, t: int = 4,
+                               d: int = 512, f: int = 2048,
+                               heads: int = 8, enc_layers: int = 4,
+                               dec_layers: int = 3,
+                               bf16: bool = True) -> float:
+    """Executed FLOPs of the full fused question stack for a batch of
+    ``b`` questions of ``l`` tokens: ``enc_layers`` encoder programs +
+    ``dec_layers`` decoder programs (each over ``ceil(b/TB)`` grid
+    steps), with the final LayerNorms folded into the last layers.
+    Mirrors the dispatch logic of :func:`fused_encoder_layer` /
+    :func:`fused_decoder_layer` (row budget, batch padding)."""
+    ship = jnp.bfloat16 if bf16 else jnp.float32
+    tb = max(_row_budget(ship) // l, 1)
+    progs = -(-b // tb)                       # ceil over padded batch
+    fl = progs * sum(
+        fused_encoder_layer_flops(l, tb, d, f, heads,
+                                  final_ln=(i == enc_layers - 1))
+        for i in range(enc_layers))
+    if bf16:                                  # decoder fuses bf16-only
+        fl += progs * sum(
+            fused_decoder_layer_flops(l, t, tb, d, f, heads,
+                                      final_ln=(i == dec_layers - 1))
+            for i in range(dec_layers))
+    return fl
+
+
 def fused_decoder_layer(tgt, memory, params, *, num_heads: int = 8,
                         final_ln=None, interpret: bool = False):
     """One post-LN transformer decoder layer (self-attn + cross-attn +

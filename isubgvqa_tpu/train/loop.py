@@ -22,7 +22,7 @@ from ..data.batching import (iterate_batches, iterate_batches_bucketed,
                              prefetch)
 from ..data.build import DataBundle
 from .distributed_metrics import reduce_dict
-from ..parallel.mesh import (is_main_process, make_mesh, shard_batch,
+from ..parallel.mesh import (batch_sharding, is_main_process, make_mesh,
                              shard_state)
 from ..utils.profiling import StepProfiler, trace
 from .checkpoint import CheckpointManager
@@ -103,9 +103,11 @@ class Trainer:
                 ds, self.data.collators[split], shuffle=shuffle, seed=seed,
                 drop_last=drop_last, shard_index=self.shard_index,
                 num_shards=self.num_shards)
-        # overlap host collation with device compute (DataLoader-worker
-        # parity, datasets/build.py:70-90)
-        return prefetch(it, depth=2)
+        # overlap host collation AND the host→device copy with device
+        # compute (DataLoader-worker + pin_memory parity,
+        # datasets/build.py:70-90): the producer thread places each
+        # batch data-sharded on the mesh before queueing it
+        return prefetch(it, depth=2, device=batch_sharding(self.mesh))
 
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
@@ -135,7 +137,6 @@ class Trainer:
         i = -1
         for i, (batch, meta) in enumerate(batches):
             data_time.update(timer.lap())
-            batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             metrics = jax.device_get(metrics)
             count = max(float(metrics["count"]), 1.0)
@@ -169,7 +170,6 @@ class Trainer:
         batches = self._iter_split(split, shuffle=False, seed=cfg.seed,
                                    drop_last=False)
         for b_idx, (batch, meta) in enumerate(batches):
-            batch = shard_batch(batch, self.mesh)
             batch_rng = jax.random.fold_in(eval_rng, b_idx)
             m = jax.device_get(self.eval_step(self.state, batch, batch_rng))
             loss_sum += float(m["loss_sum"])

@@ -163,6 +163,31 @@ def test_prefetch_preserves_order_and_raises():
     assert threading.active_count() <= before
 
 
+def test_prefetch_device_transfer():
+    """``device=`` moves host→device placement into the producer
+    thread: ``(batch, meta)`` pairs get their batch placed (meta stays
+    host-side), bare items are placed whole."""
+    import jax
+    import numpy as np
+    from isubgvqa_tpu.data.batching import prefetch
+
+    dev = jax.devices()[0]
+
+    def gen():
+        for i in range(3):
+            yield ({"x": np.full((2, 2), i, np.float32)}, f"meta{i}")
+
+    out = list(prefetch(gen(), device=dev))
+    assert [m for _, m in out] == ["meta0", "meta1", "meta2"]
+    for i, (b, _) in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        assert b["x"].devices() == {dev}
+        assert float(b["x"][0, 0]) == i
+
+    bare = list(prefetch(iter([np.ones((2,), np.float32)]), device=dev))
+    assert isinstance(bare[0], jax.Array) and bare[0].devices() == {dev}
+
+
 def test_question_len_bucket_routing():
     """Short questions ride the short-question bucket; long ones
     overflow to the longer cap (the reference's per-batch dynamic

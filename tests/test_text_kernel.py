@@ -159,3 +159,55 @@ def test_training_path_unchanged_by_refactor(rng):
                        rngs={"dropout": jax.random.PRNGKey(1)})
     assert det.shape == drop.shape
     assert not np.allclose(np.asarray(det), np.asarray(drop))
+
+
+def test_text_flops_model_matches_xla_cost_analysis(rng):
+    """Cross-validation: the analytic text-kernel FLOPs models agree
+    with XLA cost analysis of the numerically-identical module
+    composition at TB=1 (no packing waste) — the same validation
+    discipline as the graph-kernel models (bench.py module doc)."""
+    from isubgvqa_tpu.ops.pallas.text_kernel import (
+        fused_decoder_layer_flops, fused_encoder_layer_flops)
+
+    b, l, t = 4, 16, 4
+    x, mask, layer, variables = _enc_setup(rng, b=b, l=l)
+
+    def f_enc(x, mask):
+        return layer.apply(variables, x,
+                           key_bias=mask[:, None, None, :],
+                           deterministic=True)
+
+    ca = jax.jit(f_enc).lower(x, mask).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    xla = float(ca["flops"])
+    analytic = b * fused_encoder_layer_flops(l, 1, d=D, f=F, heads=H)
+    assert abs(xla - analytic) / analytic < 0.02, (xla, analytic)
+
+    dec = PostLNDecoderLayer(D, H, F, dropout=0.1)
+    tgt = jnp.asarray(rng.normal(size=(b, t, D)).astype(np.float32))
+    dvars = dec.init(jax.random.PRNGKey(0), tgt, x)
+
+    def f_dec(tgt, mem):
+        return dec.apply(dvars, tgt, mem, deterministic=True)
+
+    ca = jax.jit(f_dec).lower(tgt, x).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    xla = float(ca["flops"])
+    analytic = b * fused_decoder_layer_flops(l, t, 1, d=D, f=F, heads=H)
+    assert abs(xla - analytic) / analytic < 0.02, (xla, analytic)
+
+
+def test_text_stack_flops_per_batch_shape():
+    """Batch helper: ceil-division over the row budget, decoder only
+    counted for bf16 models, monotone in tokens and batch."""
+    from isubgvqa_tpu.ops.pallas.text_kernel import (
+        text_stack_flops_per_batch)
+
+    f16 = text_stack_flops_per_batch(2048, 16)
+    f32tok = text_stack_flops_per_batch(2048, 32)
+    assert f32tok > f16
+    assert text_stack_flops_per_batch(4096, 16) > f16
+    assert (text_stack_flops_per_batch(2048, 16, bf16=False)
+            < f16)                      # f32: encoder-only fuses
