@@ -60,6 +60,7 @@ from flax import linen as nn
 from ..data.batching import GraphBatch
 from ..ops.pallas import gat_train
 from ..ops.pallas.gat_kernel import fused_gat_layer, gat_layer_reference
+from ..utils.platform import on_tpu_backend as _on_tpu
 from ..sampling.aimle import AIMLEState
 from .masking import MaskingModel
 
@@ -155,10 +156,9 @@ class MGATLayer(nn.Module):
     ):
         """-> (out [B,N,C] incl. residual/sdp/norm, mask | None, alpha)."""
         # fused kernel only when actually lowering for TPU (init may
-        # trace under a CPU default_device context)
-        dd = jax.config.jax_default_device
-        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        # trace under a CPU default_device context); module-local
+        # _on_tpu so tests can spoof this gate alone
+        on_tpu = _on_tpu()
         run_fused = self.use_pallas and not train and on_tpu
         # training runs the differentiable fused path: Pallas conv with
         # a custom-VJP Pallas backward + the XLA head (ops/pallas/

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils.platform import on_tpu_backend as _on_tpu
 from .layers import LNParams, PostLNDecoderLayer, ln_apply
 
 
@@ -51,9 +52,7 @@ class QuestionDecoder(nn.Module):
                   for i in range(self.num_layers)]
         final = LNParams(self.dim, name="final_norm")
 
-        dd = jax.config.jax_default_device
-        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        on_tpu = _on_tpu()   # module-local seam (utils/platform.py)
         # the f32 decoder's weight blocks (2 MHA + FFN) exceed the
         # per-program VMEM budget; the fused path runs for bf16 models
         # (and under test interpret mode)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils.platform import on_tpu_backend as _on_tpu
 from .layers import LNParams, PostLNTransformerLayer, ln_apply
 
 
@@ -72,9 +73,7 @@ class QuestionEncoder(nn.Module):
                   for i in range(self.num_layers)]
         final = LNParams(self.dim, name="final_norm")
 
-        dd = jax.config.jax_default_device
-        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        on_tpu = _on_tpu()   # module-local seam (utils/platform.py)
         run_fused = (self.use_pallas and deterministic
                      and (on_tpu or text_kernel.FORCE_INTERPRET))
         if run_fused:

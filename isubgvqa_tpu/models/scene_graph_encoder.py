@@ -33,6 +33,7 @@ from ..data.batching import GraphBatch
 from ..ops.pallas import gat_train
 from ..ops.pallas.metalayer_kernel import fused_metalayer, metalayer_reference
 from ..ops.pallas.metalayer_train import fused_metalayer_train
+from ..utils.platform import on_tpu_backend as _on_tpu
 from .layers import MaskedBatchNorm
 
 _lecun = nn.initializers.lecun_normal()
@@ -123,9 +124,7 @@ class SceneGraphEncoder(nn.Module):
         # custom-VJP pair (ops/pallas/metalayer_train.py) whose Pallas
         # backward keeps the per-edge MLP activations out of HBM
         params = self._meta_params()
-        dd = jax.config.jax_default_device
-        pinned_cpu = dd is not None and getattr(dd, "platform", "") == "cpu"
-        on_tpu = jax.default_backend() == "tpu" and not pinned_cpu
+        on_tpu = _on_tpu()   # module-local seam (utils/platform.py)
         if self.use_pallas and deterministic and on_tpu:
             fn = functools.partial(fused_metalayer, pack=self.pack)
         elif self.use_pallas and not deterministic \

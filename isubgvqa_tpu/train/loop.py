@@ -50,9 +50,12 @@ class Trainer:
 
         steps_per_epoch = max(
             len(data.datasets["train"]) // max(cfg.batch_size, 1), 1)
+        # flat (single-vector) optimizer unless TP needs the state to
+        # mirror per-table shardings — see make_optimizer
         self.optimizer = make_optimizer(
             cfg.lr, steps_per_epoch, cfg.warmup_epochs, cfg.warmup_start_lr,
-            cfg.lr_gamma, cfg.grad_clip_norm)
+            cfg.lr_gamma, cfg.grad_clip_norm,
+            flat=cfg.model_parallel <= 1)
 
         if state is None:
             sample_batch, _ = next(iterate_batches(

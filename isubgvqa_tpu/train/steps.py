@@ -15,6 +15,7 @@ contribute neither loss nor metrics.
 from __future__ import annotations
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -55,6 +56,19 @@ def make_train_step(model: ISubGVQA, optimizer: optax.GradientTransformation,
     """
     use_aimle = cfg.sampler_type == "aimle"
 
+    if cfg.model_parallel <= 1:
+        # one concatenated-vector reduction; identical value to
+        # optax.global_norm but ~220 fewer tiny reduce ops per step,
+        # and the ravel CSEs with the flat optimizer's own
+        # (train/schedule.py make_optimizer flat=True, the DP default)
+        def grad_norm_fn(grads):
+            flat, _ = jax.flatten_util.ravel_pytree(grads)
+            return jnp.sqrt(jnp.sum(jnp.square(flat)))
+    else:
+        # under TP, concatenating differently-sharded leaves would
+        # force resharding; per-leaf partial sums reduce locally
+        grad_norm_fn = optax.global_norm
+
     def loss_fn(params, aimle_states, batch_stats, batch, rngs):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -87,7 +101,7 @@ def make_train_step(model: ISubGVQA, optimizer: optax.GradientTransformation,
             aimle_states=new_aimle,
         )
         metrics = _metrics(out.logits, batch.labels, batch.sample_mask, loss)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm_fn(grads)
         return new_state, metrics
 
     return train_step

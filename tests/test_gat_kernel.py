@@ -284,8 +284,6 @@ def test_kernel_pack_config_reaches_fused_layer(monkeypatch):
     fused path is TPU-only; packed exactness is pinned above), and the
     TPU gate is spoofed so run_fused turns on under the CPU tests."""
     from isubgvqa_tpu.models import mgat as mgat_mod
-    from isubgvqa_tpu.models import scene_graph_encoder as sge_mod
-    from isubgvqa_tpu.ops.pallas.metalayer_kernel import metalayer_reference
     from isubgvqa_tpu.models.build import build_model, init_model
     from tests.test_model import (small_cfg, SceneGraphVocab, AnswerMap,
                                   SyntheticGQA, BucketSpec, Collator,
@@ -319,10 +317,10 @@ def test_kernel_pack_config_reaches_fused_layer(monkeypatch):
                 jnp.zeros((b, src.shape[1], nheads), jnp.float32))
 
     monkeypatch.setattr(mgat_mod, "fused_gat_layer", fake_fused)
-    # the backend spoof below is global: keep the scene-graph encoder
-    # off the (TPU-only) fused MetaLayer kernel
-    monkeypatch.setattr(sge_mod, "fused_metalayer", metalayer_reference)
-    monkeypatch.setattr(mgat_mod.jax, "default_backend", lambda: "tpu")
+    # spoof ONLY the MGAT gate (module-local _on_tpu seam): the
+    # scene-graph encoder and the question stack keep their XLA paths,
+    # which are the only ones compilable on the CPU test mesh
+    monkeypatch.setattr(mgat_mod, "_on_tpu", lambda: True)
     model.apply({"params": params, "batch_stats": batch_stats},
                 batch, train=False, rngs={"sampler": jax.random.PRNGKey(0)})
     assert seen_packs == [3, 3, 3, 3], seen_packs

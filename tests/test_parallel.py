@@ -191,7 +191,12 @@ def test_tp_sharded_step_matches_replicated(setup):
 
     from isubgvqa_tpu.parallel.mesh import shard_state
 
-    cfg, model, optimizer, state, batch = setup
+    cfg, model, _, _, batch = setup
+    # per-leaf optimizer, exactly as the Trainer builds it under TP
+    # (train/loop.py flat=cfg.model_parallel<=1): Adam moments must
+    # mirror each table's sharding, which a flat vector cannot
+    optimizer = make_optimizer(cfg.lr, steps_per_epoch=4, flat=False)
+    state = create_train_state(model, optimizer, batch, cfg)
     train_step = jax.jit(make_train_step(model, optimizer, cfg))
     rng = jax.random.PRNGKey(0)
 
