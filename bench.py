@@ -373,16 +373,30 @@ def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
 
 def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
                      dtype: str = "bfloat16", node_caps=(16, 32, 64, 128),
-                     train_pack=None):
+                     train_pack=None, multistep: int = 1):
     """Jitted full training step (fwd + bwd + Adam) throughput,
-    mix-blended over buckets like inference."""
+    mix-blended over buckets like inference.
+
+    ``multistep > 1`` measures the Trainer's ``cfg.multistep`` path:
+    K same-bucket batches stacked into one lax.scan program
+    (``train/steps.py:make_multistep_train_step``), one dispatch per K
+    optimizer updates; reported per *step*, i.e. group time / K."""
     from isubgvqa_tpu.train.schedule import make_optimizer
     from isubgvqa_tpu.train.state import create_train_state
-    from isubgvqa_tpu.train.steps import make_train_step
+    from isubgvqa_tpu.train.steps import (make_multistep_train_step,
+                                          make_train_step)
 
+    multistep = max(int(multistep), 1)
+    min_timed = 4
+    if multistep > 1:
+        # enough distinct batches PER BUCKET for a warmup group +
+        # >=2 timed groups of K (min_timed bounds the small buckets,
+        # which otherwise get only ~5 batches)
+        iters = max(iters, 3 * multistep)
+        min_timed = 3 * multistep - 1
     cfg = _cfg(sampler, batch_size, dtype, node_caps, train_pack)
     (model, params, batch_stats, bucket_batches, bucket_weight, cfg,
-     _, _, _) = build_bench_setup(cfg, iters)
+     _, _, _) = build_bench_setup(cfg, iters, min_timed=min_timed)
     optimizer = make_optimizer(cfg.lr, steps_per_epoch=8)
     state = create_train_state(model, optimizer,
                                next(iter(bucket_batches.values()))[0], cfg)
@@ -392,8 +406,12 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     # donate the state exactly as the Trainer does (train/loop.py:62-64,
     # cfg.donate_state default): without donation XLA keeps a second
     # copy of params+Adam state alive per step
-    step = jax.jit(make_train_step(model, optimizer, cfg),
-                   donate_argnums=0)
+    if multistep > 1:
+        step = jax.jit(make_multistep_train_step(model, optimizer, cfg),
+                       donate_argnums=0)
+    else:
+        step = jax.jit(make_train_step(model, optimizer, cfg),
+                       donate_argnums=0)
     rng = jax.random.PRNGKey(0)
     on_tpu = jax.default_backend() == "tpu"
 
@@ -407,10 +425,18 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
         return m
 
     for bkey in sorted(bucket_batches):
-        batches = jax.device_put(bucket_batches[bkey], dev)
-        xla_flops = _flops_per_exec(step, state_box["s"], batches[0], rng)
-        ms = _time_stream(run_one, batches)
-        kflops = (_train_kernel_flops_per_batch(cfg, batches[0])
+        stream = bucket_batches[bkey]
+        if multistep > 1:
+            n_groups = len(stream) // multistep
+            stream = [jax.tree_util.tree_map(
+                          lambda *xs: np.stack(xs),
+                          *stream[i * multistep:(i + 1) * multistep])
+                      for i in range(n_groups)]
+        batches = jax.device_put(stream, dev)
+        xla_flops = (_flops_per_exec(step, state_box["s"], batches[0], rng)
+                     / multistep)
+        ms = _time_stream(run_one, batches) / multistep
+        kflops = (_train_kernel_flops_per_batch(cfg, bucket_batches[bkey][0])
                   if on_tpu else 0.0)
         w = bucket_weight[bkey]
         blended_t_q += w * (ms / 1e3) / batch_size
@@ -422,6 +448,7 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
+        "multistep": multistep,
         "train_qps_per_chip": 1.0 / blended_t_q / n_chips,
         "ms_per_step": blended_t_q * batch_size * 1e3,
         "flops_per_question": blended_flops_q,
@@ -466,6 +493,10 @@ def main():
                     help="training-step batch size (default = the "
                          "reference's bs 256; raise to measure the "
                          "saturated step)")
+    ap.add_argument("--train-multistep", type=int, default=8,
+                    help="K for the extra multi-step-dispatch training "
+                         "row in --full (cfg.multistep: K scanned "
+                         "updates per dispatch); 1 disables the row")
     ap.add_argument("--e2e", action="store_true",
                     help="also measure the end-to-end pipeline "
                          "(bucketed iterator + native collate + "
@@ -506,6 +537,13 @@ def main():
             train_rows.append(bench_train_step(sampler, args.train_batch,
                                                node_caps=tuple(args.node_caps),
                                                train_pack=args.train_pack))
+            print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
+        if args.train_multistep > 1:
+            train_rows.append(bench_train_step(
+                "gumbel", args.train_batch,
+                node_caps=tuple(args.node_caps),
+                train_pack=args.train_pack,
+                multistep=args.train_multistep))
             print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
         _write_details(rows, train_rows, args, e2e)
 
@@ -574,7 +612,10 @@ def _write_details(rows, train_rows, args, e2e=None):
         "|---|---|---|---|---|---|",
     ]
     for r in train_rows:
-        lines.append(f"| {r['sampler']} | {r['train_qps_per_chip']:.0f} "
+        name = r["sampler"]
+        if r.get("multistep", 1) > 1:
+            name += f" (multistep {r['multistep']})"
+        lines.append(f"| {name} | {r['train_qps_per_chip']:.0f} "
                      f"| {r['ms_per_step']:.1f} "
                      f"| {r['tflops_per_sec']:.1f} | {r['mfu']*100:.1f}% "
                      f"| {r['flops_per_question']/1e6:.0f} |")

@@ -95,6 +95,11 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=d.profile_dir,
                    help="capture a jax.profiler trace of fit() here and "
                         "log per-epoch step-time summaries")
+    p.add_argument("--multistep", type=int, default=d.multistep,
+                   help="optimizer updates per device dispatch: stacks "
+                        "K same-bucket batches into one lax.scan "
+                        "program (trajectory-identical; amortizes host "
+                        "dispatch overhead)")
     return p
 
 

@@ -120,6 +120,15 @@ class Config:
     # test_fused_gatconv_packed_grads_match.
     kernel_pack: Union[int, str, None] = "auto"
     donate_state: bool = True
+    # optimizer updates per device dispatch: >1 stacks that many
+    # same-bucket batches and runs them as one lax.scan program
+    # (train/steps.py:make_multistep_train_step).  The K scanned
+    # updates are exactly K sequential train steps; across buckets the
+    # per-shape grouping permutes the (already shuffled) batch order,
+    # so every batch still trains exactly once per epoch.  Host
+    # dispatch overhead is paid once per K steps.  1 = reference
+    # dispatch granularity.
+    multistep: int = 1
 
     def scaled(self) -> "Config":
         """Apply the reference's linear batch/lr scaling (main.py:54-55)."""

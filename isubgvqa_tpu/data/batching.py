@@ -413,6 +413,52 @@ def iterate_batches_bucketed(
                 [dataset[t] for t in group[shard_index]])
 
 
+def group_multistep(iterator: Iterator, k: int) -> Iterator:
+    """Group consecutive same-shape ``(batch, meta)`` pairs into
+    stacked multi-step super-batches for
+    :func:`~isubgvqa_tpu.train.steps.make_multistep_train_step`.
+
+    Yields ``("multi", stacked_batch, metas)`` once ``k`` batches of
+    one static shape have accumulated — ``stacked_batch`` is the
+    element-wise ``np.stack`` of the k batches (leading ``[K]`` axis) —
+    and flushes whatever is left per shape at end of stream as plain
+    ``("single", batch, meta)`` items, so remainders never force a
+    separately-compiled scan length.
+
+    Grouping is deterministic in stream order.  Under multi-host SPMD
+    the bucketed iterator already gives every host an identical
+    batch-shape sequence (``iterate_batches_bucketed``), so all hosts
+    produce the same multi/single dispatch sequence and stay in
+    lock-step.
+    """
+    if k <= 1:
+        for batch, meta in iterator:
+            yield ("single", batch, meta)
+        return
+
+    def shape_key(b: GraphBatch):
+        return (b.node_tokens.shape, b.edge_src.shape, b.qst_tokens.shape)
+
+    pending: dict = {}
+    order: list = []                      # flush in first-seen order
+    for batch, meta in iterator:
+        key = shape_key(batch)
+        if key not in pending:
+            pending[key] = []
+            order.append(key)
+        pending[key].append((batch, meta))
+        if len(pending[key]) == k:
+            group = pending.pop(key)
+            order.remove(key)
+            bs = [b for b, _ in group]
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *bs)
+            yield ("multi", stacked, tuple(m for _, m in group))
+    for key in order:
+        for batch, meta in pending[key]:
+            yield ("single", batch, meta)
+
+
 def prefetch(iterator: Iterator, depth: int = 2, device=None) -> Iterator:
     """Run ``iterator`` in a background thread, keeping up to ``depth``
     ready batches in a queue — the host collates the next batch while
@@ -435,6 +481,11 @@ def prefetch(iterator: Iterator, depth: int = 2, device=None) -> Iterator:
     def put_on_device(item):
         if device is None:
             return item
+        if callable(device) and not hasattr(device, "device_set"):
+            # custom placer (e.g. the Trainer's multistep placer, which
+            # shards stacked [K, B, ...] and single [B, ...] batches
+            # differently)
+            return device(item)
         if isinstance(item, tuple) and len(item) == 2:
             batch, meta = item
             return jax.device_put(batch, device), meta

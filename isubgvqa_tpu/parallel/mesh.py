@@ -54,6 +54,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a multistep super-batch ``[K, B, ...]`` on its *second*
+    (batch) axis over ``data``; the step axis K stays whole — it is the
+    ``lax.scan`` length of the multi-step train program."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -18,18 +18,19 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..data.batching import (iterate_batches, iterate_batches_bucketed,
-                             prefetch)
+from ..data.batching import (group_multistep, iterate_batches,
+                             iterate_batches_bucketed, prefetch)
 from ..data.build import DataBundle
 from .distributed_metrics import reduce_dict
 from ..parallel.mesh import (batch_sharding, is_main_process, make_mesh,
-                             shard_state)
+                             shard_state, stacked_batch_sharding)
 from ..utils.profiling import StepProfiler, trace
 from .checkpoint import CheckpointManager
 from .metrics import AverageMeter, ProgressMeter, StepTimer
 from .schedule import make_optimizer
 from .state import TrainState, create_train_state
-from .steps import make_eval_step, make_train_step
+from .steps import (make_eval_step, make_multistep_train_step,
+                    make_train_step)
 
 logger = logging.getLogger(__name__)
 
@@ -76,6 +77,15 @@ class Trainer:
         self.train_step = jax.jit(make_train_step(self.model, self.optimizer, cfg),
                                   donate_argnums=donate,
                                   out_shardings=(state_shardings, None))
+        # K optimizer updates per dispatch (cfg.multistep > 1): a
+        # lax.scan of the same step body over stacked same-bucket
+        # batches — trajectory-identical, one host dispatch per K steps
+        self.multistep = max(int(cfg.multistep or 1), 1)
+        if self.multistep > 1:
+            self.multi_train_step = jax.jit(
+                make_multistep_train_step(self.model, self.optimizer, cfg),
+                donate_argnums=donate,
+                out_shardings=(state_shardings, None))
         self.eval_step = jax.jit(make_eval_step(self.model, cfg))
         self.ckpt = CheckpointManager(cfg.output_dir)
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -83,7 +93,7 @@ class Trainer:
     # ------------------------------------------------------------ epochs
 
     def _iter_split(self, split: str, shuffle: bool, seed: int,
-                    drop_last: bool):
+                    drop_last: bool, multistep: int = 1):
         """Batch iterator for a split: size-bucketed when the bundle
         carries more than one bucket (one jit specialization per
         bucket), else fixed-shape; always sharded per process.
@@ -110,13 +120,25 @@ class Trainer:
         # compute (DataLoader-worker + pin_memory parity,
         # datasets/build.py:70-90): the producer thread places each
         # batch data-sharded on the mesh before queueing it
+        if multistep > 1:
+            it = group_multistep(it, multistep)
+            multi_sh = stacked_batch_sharding(self.mesh)
+            single_sh = batch_sharding(self.mesh)
+
+            def place(item):
+                tag, batch, meta = item
+                sh = multi_sh if tag == "multi" else single_sh
+                return (tag, jax.device_put(batch, sh), meta)
+
+            return prefetch(it, depth=2, device=place)
         return prefetch(it, depth=2, device=batch_sharding(self.mesh))
 
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
         ds = self.data.datasets["train"]
         batches = self._iter_split("train", shuffle=True,
-                                   seed=cfg.seed + epoch, drop_last=True)
+                                   seed=cfg.seed + epoch, drop_last=True,
+                                   multistep=self.multistep)
         # estimate only: bucketed iteration drops each bucket's own
         # tail under drop_last (true count lower), while multi-host
         # wrap-padded rounds can exceed it when many buckets hold just
@@ -137,26 +159,44 @@ class Trainer:
         timer = StepTimer()
         profiler = StepProfiler(enabled=bool(cfg.profile_dir))
 
-        i = -1
-        for i, (batch, meta) in enumerate(batches):
+        steps = 0
+        shown = -1                       # display on the first dispatch
+        for item in batches:
             data_time.update(timer.lap())
-            self.state, metrics = self.train_step(self.state, batch, self.rng)
-            metrics = jax.device_get(metrics)
-            count = max(float(metrics["count"]), 1.0)
-            loss = float(metrics["loss_sum"]) / count
-            acc = float(metrics["correct"]) / count * 100.0
-            if np.isfinite(loss):                     # train_epoch.py:123-126
-                losses.update(loss, count)
+            if self.multistep > 1:
+                tag, batch, meta = item
             else:
-                logger.info("loss is %s", loss)
-            grad_norm.update(float(metrics["grad_norm"]))
-            ans_short.update(acc, count)
-            batch_time.update(timer.lap())
+                tag, (batch, meta) = "single", item
+            if tag == "multi":
+                self.state, metrics = self.multi_train_step(
+                    self.state, batch, self.rng)
+                stacked = jax.device_get(metrics)
+                n_inner = len(meta)
+                per_step = [{k: v[j] for k, v in stacked.items()}
+                            for j in range(n_inner)]
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, batch, self.rng)
+                per_step = [jax.device_get(metrics)]
+            t = timer.lap()
+            for m in per_step:
+                count = max(float(m["count"]), 1.0)
+                loss = float(m["loss_sum"]) / count
+                acc = float(m["correct"]) / count * 100.0
+                if np.isfinite(loss):                 # train_epoch.py:123-126
+                    losses.update(loss, count)
+                else:
+                    logger.info("loss is %s", loss)
+                grad_norm.update(float(m["grad_norm"]))
+                ans_short.update(acc, count)
+            batch_time.update(t / len(per_step), len(per_step))
             profiler.step()
-            if is_main_process() and i % cfg.print_freq == 0:
-                progress.display(i)
+            steps += len(per_step)
+            if is_main_process() and steps // cfg.print_freq > shown:
+                progress.display(steps - 1)
+                shown = steps // cfg.print_freq
         if is_main_process():
-            progress.display(i + 1)
+            progress.display(steps)
             if profiler.enabled:
                 logger.info("step profile epoch %d: %s", epoch,
                             profiler.summary())

@@ -107,6 +107,41 @@ def make_train_step(model: ISubGVQA, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def make_multistep_train_step(model: ISubGVQA,
+                              optimizer: optax.GradientTransformation,
+                              cfg: Config):
+    """Returns ``multi_step(state, stacked_batch, rng) -> (state,
+    metrics)`` running K full optimizer updates in ONE executable: a
+    ``lax.scan`` of :func:`make_train_step`'s body over a batch pytree
+    with a leading ``[K]`` axis.
+
+    The parameter trajectory is *identical* to K sequential
+    ``train_step`` dispatches with the same ``rng``: the per-step RNG
+    is folded on ``state.step`` inside the body, which increments each
+    scan iteration (pinned by
+    ``tests/test_multistep.py::test_multistep_matches_sequential``).
+    Metrics come back stacked ``[K]`` per entry, so meters see every
+    inner step.
+
+    Why: one host dispatch per K steps.  The model is small enough
+    (~30 ms device time per step at the reference's batch 256) that
+    per-dispatch host overhead is a measurable slice of wall-clock —
+    the classic TPU remedy is to move the step loop into the program
+    (the reference's CUDA analogue would be graph capture; here it is
+    just a scan).
+    """
+    single = make_train_step(model, optimizer, cfg)
+
+    def multi_step(state: TrainState, stacked_batch: GraphBatch,
+                   rng: jax.Array):
+        def body(s, b):
+            return single(s, b, rng)
+
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return multi_step
+
+
 def make_eval_step(model: ISubGVQA, cfg: Config, return_output: bool = False):
     """Returns ``eval_step(state, batch, rng) -> metrics`` (or
     ``(metrics, ModelOutput)``), mirroring ``validate_epoch``'s
