@@ -206,14 +206,18 @@ def _kernel_flops_per_batch(cfg, batch) -> float:
 
 def _train_kernel_flops_per_batch(cfg, batch) -> float:
     """Analytic FLOPs of the Pallas custom-VJP kernels in one training
-    step (forward + backward): 4 trainable GAT convs + 1 MetaLayer,
-    each a fused forward plus a recompute-structured fused backward.
-    These are *executed* FLOPs (the backward recomputes the forward in
-    VMEM), so train MFU reflects what the chip actually does."""
+    step (forward + backward): 4 trainable GAT convs + 1 MetaLayer +
+    the fused question stack (4 encoder + 3 decoder layers with live
+    dropout), each a fused forward plus a recompute-structured fused
+    backward.  These are *executed* FLOPs (the backward recomputes the
+    forward in VMEM), so train MFU reflects what the chip actually
+    does."""
     from isubgvqa_tpu.ops.pallas.gat_kernel import metalayer_kernel_flops
     from isubgvqa_tpu.ops.pallas.gat_train import (fused_gatconv_bwd_flops,
                                                    fused_gatconv_fwd_flops)
     from isubgvqa_tpu.ops.pallas.metalayer_train import metalayer_bwd_flops
+    from isubgvqa_tpu.ops.pallas.text_train import (
+        text_stack_train_flops_per_batch)
     b, n = batch.node_tokens.shape[:2]
     e = batch.edge_src.shape[1]
     layers = len(cfg.mgat_masks)
@@ -221,7 +225,13 @@ def _train_kernel_flops_per_batch(cfg, batch) -> float:
                            + fused_gatconv_bwd_flops(n, e))
                  + metalayer_kernel_flops(n, e)
                  + metalayer_bwd_flops(n, e))
-    return b * per_graph
+    text = text_stack_train_flops_per_batch(
+        b, batch.qst_tokens.shape[1], t=cfg.mgat_layers,
+        d=cfg.text_emb_dim, f=4 * 512, heads=cfg.num_heads,
+        enc_layers=cfg.encoder_layers, dec_layers=cfg.decoder_layers,
+        bf16=cfg.compute_dtype == "bfloat16",
+        dropout=cfg.dropout > 0.0)
+    return b * per_graph + text
 
 
 def _stream_is_distinct(batches) -> bool:

@@ -264,6 +264,133 @@ class PostLNDecoderLayer(nn.Module):
         }
 
 
+def _keep_mask(rng, rate: float, shape):
+    """Scaled dropout keep mask: values ``{0, 1/(1-rate)}`` f32 —
+    multiplying by it reproduces ``nn.Dropout`` semantics
+    (``where(keep, x/(1-p), 0)``) with the mask drawn once and shared
+    between the fused Pallas training kernels and the XLA oracle."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def draw_encoder_dropout_masks(rng, b, l, *, dim, ffn_dim, num_heads,
+                               rate):
+    """Per-layer dropout keep masks for one encoder layer (torch
+    ``TransformerEncoderLayer`` sites: attention probabilities, after
+    the attention output, after the FFN ReLU, after the FFN output —
+    reference ``question_encoder.py:22-25``).  None when rate == 0."""
+    if rate <= 0.0:
+        return None
+    ks = jax.random.split(rng, 4)
+    return {
+        "attn": _keep_mask(ks[0], rate, (b, num_heads, l, l)),
+        "post_attn": _keep_mask(ks[1], rate, (b, l, dim)),
+        "ffn": _keep_mask(ks[2], rate, (b, l, ffn_dim)),
+        "post_ffn": _keep_mask(ks[3], rate, (b, l, dim)),
+    }
+
+
+def draw_decoder_dropout_masks(rng, b, t, l, *, dim, ffn_dim, num_heads,
+                               rate):
+    """Dropout keep masks for one decoder layer (self-attn probs, after
+    self-attn, cross-attn probs, after cross-attn, after the FFN ReLU,
+    after the FFN output — reference ``question_decoder.py:27-29``)."""
+    if rate <= 0.0:
+        return None
+    ks = jax.random.split(rng, 6)
+    return {
+        "self_attn": _keep_mask(ks[0], rate, (b, num_heads, t, t)),
+        "post_sa": _keep_mask(ks[1], rate, (b, t, dim)),
+        "cross_attn": _keep_mask(ks[2], rate, (b, num_heads, t, l)),
+        "post_ca": _keep_mask(ks[3], rate, (b, t, dim)),
+        "ffn": _keep_mask(ks[4], rate, (b, t, ffn_dim)),
+        "post_ffn": _keep_mask(ks[5], rate, (b, t, dim)),
+    }
+
+
+def _mul_keep(x, m):
+    return x if m is None else x * m.astype(x.dtype)
+
+
+def _mha_explicit(q_in, kv_in, params, prefix, bias, probs_keep,
+                  num_heads, dtype):
+    """:class:`MultiHeadAttention` numerics as a pure function over a
+    ``kernel_params``-keyed dict, with the attention-probability
+    dropout as an explicit pre-scaled keep mask ``[B, H, Lq, Lk]``."""
+    b, lq, dim = q_in.shape
+    dh = dim // num_heads
+
+    def proj(x, w, bi):
+        y = dense_apply(x, w, bi, dtype)
+        return y.reshape(x.shape[0], x.shape[1], num_heads,
+                         dh).transpose(0, 2, 1, 3)
+
+    q = proj(q_in, params[prefix + "wq"], params[prefix + "bq"])
+    k = proj(kv_in, params[prefix + "wk"], params[prefix + "bk"])
+    v = proj(kv_in, params[prefix + "wv"], params[prefix + "bv"])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(dh)
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    if probs_keep is not None:
+        w = w * probs_keep.astype(w.dtype)
+    ddt = dtype or q_in.dtype
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(ddt), v,
+                     preferred_element_type=jnp.float32).astype(ddt)
+    out = out.transpose(0, 2, 1, 3).reshape(b, lq, dim)
+    return dense_apply(out, params[prefix + "wo"], params[prefix + "bo"],
+                       dtype)
+
+
+def encoder_layer_reference(x, key_mask, masks, params, *, num_heads=8,
+                            dtype=None):
+    """One post-LN encoder layer, op-by-op XLA, with explicit dropout
+    keep masks — the differentiable oracle and fallback for
+    :func:`~isubgvqa_tpu.ops.pallas.text_train.fused_encoder_layer_train`
+    (same params, same masks ⇒ same outputs and gradients).
+
+    ``x [B, L, D]``, ``key_mask [B, L]`` float (the reference's additive
+    key-logit bias quirk, ``question_encoder.py:35-37``), ``masks`` as
+    produced by :func:`draw_encoder_dropout_masks` (or None)."""
+    m = masks or {}
+    bias = key_mask.astype(jnp.float32)[:, None, None, :]
+    attn = _mha_explicit(x, x, params, "", bias, m.get("attn"),
+                         num_heads, dtype)
+    attn = _mul_keep(attn, m.get("post_attn"))
+    x = ln_apply(x + attn, params["n1s"], params["n1b"], dtype)
+    y = dense_apply(x, params["w1"], params["b1"], dtype)
+    y = nn.relu(y)
+    y = _mul_keep(y, m.get("ffn"))
+    y = dense_apply(y, params["w2"], params["b2"], dtype)
+    y = _mul_keep(y, m.get("post_ffn"))
+    return ln_apply(x + y, params["n2s"], params["n2b"], dtype)
+
+
+def decoder_layer_reference(tgt, memory, masks, params, *, num_heads=8,
+                            dtype=None):
+    """One post-LN decoder layer (self-attn + cross-attn + FFN) with
+    explicit dropout keep masks — oracle/fallback for
+    ``text_train.fused_decoder_layer_train``.  The reference passes no
+    memory padding mask (``question_decoder.py:65-67``) so none is
+    taken here."""
+    m = masks or {}
+    sa = _mha_explicit(tgt, tgt, params, "s", None, m.get("self_attn"),
+                       num_heads, dtype)
+    sa = _mul_keep(sa, m.get("post_sa"))
+    tgt = ln_apply(tgt + sa, params["n1s"], params["n1b"], dtype)
+    ca = _mha_explicit(tgt, memory, params, "c", None,
+                       m.get("cross_attn"), num_heads, dtype)
+    ca = _mul_keep(ca, m.get("post_ca"))
+    tgt = ln_apply(tgt + ca, params["n2s"], params["n2b"], dtype)
+    y = dense_apply(tgt, params["w1"], params["b1"], dtype)
+    y = nn.relu(y)
+    y = _mul_keep(y, m.get("ffn"))
+    y = dense_apply(y, params["w2"], params["b2"], dtype)
+    y = _mul_keep(y, m.get("post_ffn"))
+    return ln_apply(tgt + y, params["n3s"], params["n3b"], dtype)
+
+
 class GraphNorm(nn.Module):
     """torch_geometric.nn.norm.GraphNorm equivalent
     (``scene_graph_encoder.py:33``, ``mgat.py:93-95``):

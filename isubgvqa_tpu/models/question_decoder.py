@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.platform import on_tpu_backend as _on_tpu
-from .layers import LNParams, PostLNDecoderLayer, ln_apply
+from .layers import (LNParams, PostLNDecoderLayer,
+                     decoder_layer_reference, draw_decoder_dropout_masks,
+                     ln_apply)
 
 
 class QuestionDecoder(nn.Module):
@@ -69,6 +71,33 @@ class QuestionDecoder(nn.Module):
                     interpret=text_kernel.FORCE_INTERPRET)
             return tgt
 
+        if not deterministic:
+            # Training: explicit dropout keep masks shared between the
+            # fused custom-VJP path (ops/pallas/text_train.py) and the
+            # XLA oracle (see QuestionEncoder); the fused decoder is
+            # bf16-gated on TPU like the eval kernel (VMEM budget).
+            from ..ops.pallas import text_train
+
+            fuse = (self.use_pallas
+                    and ((on_tpu and memory.dtype == jnp.bfloat16)
+                         or text_train.FORCE_INTERPRET))
+            t, l = tgt.shape[1], memory.shape[1]
+            for layer in layers:
+                masks = (draw_decoder_dropout_masks(
+                    self.make_rng("dropout"), b, t, l, dim=self.dim,
+                    ffn_dim=self.ffn_dim, num_heads=self.num_heads,
+                    rate=self.dropout) if self.dropout > 0.0 else None)
+                params = layer.kernel_params()
+                if fuse:
+                    tgt = text_train.fused_decoder_layer_train(
+                        tgt, memory, masks, params, self.num_heads,
+                        text_train.FORCE_INTERPRET)
+                else:
+                    tgt = decoder_layer_reference(
+                        tgt, memory, masks, params,
+                        num_heads=self.num_heads, dtype=self.dtype)
+            return ln_apply(tgt, final.scale, final.bias, self.dtype)
+
         for layer in layers:
-            tgt = layer(tgt, memory, deterministic=deterministic)
+            tgt = layer(tgt, memory, deterministic=True)
         return ln_apply(tgt, final.scale, final.bias, self.dtype)

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.platform import on_tpu_backend as _on_tpu
-from .layers import LNParams, PostLNTransformerLayer, ln_apply
+from .layers import (LNParams, PostLNTransformerLayer,
+                     draw_encoder_dropout_masks, encoder_layer_reference,
+                     ln_apply)
 
 
 class TextEmbedding(nn.Module):
@@ -87,10 +89,39 @@ class QuestionEncoder(nn.Module):
                     interpret=text_kernel.FORCE_INTERPRET)
             return x
 
+        if not deterministic:
+            # Training: dropout keep masks are drawn here (the module's
+            # ``dropout`` RNG stream) and passed explicitly, so the
+            # fused Pallas custom-VJP layers (ops/pallas/text_train.py)
+            # and the XLA oracle consume identical noise by
+            # construction; the final LayerNorm stays XLA (cheap,
+            # differentiable).
+            from ..ops.pallas import text_train
+
+            fuse = (self.use_pallas
+                    and (on_tpu or text_train.FORCE_INTERPRET))
+            b, l = ids.shape
+            mask_f = attn_mask.astype(jnp.float32)
+            for layer in layers:
+                masks = (draw_encoder_dropout_masks(
+                    self.make_rng("dropout"), b, l, dim=self.dim,
+                    ffn_dim=self.ffn_dim, num_heads=self.num_heads,
+                    rate=self.dropout) if self.dropout > 0.0 else None)
+                params = layer.kernel_params()
+                if fuse:
+                    x = text_train.fused_encoder_layer_train(
+                        x, mask_f, masks, params, self.num_heads,
+                        text_train.FORCE_INTERPRET)
+                else:
+                    x = encoder_layer_reference(
+                        x, mask_f, masks, params,
+                        num_heads=self.num_heads, dtype=self.dtype)
+            return ln_apply(x, final.scale, final.bias, self.dtype)
+
         # emb_proj + PositionalEncoding exist in the reference but are
         # bypassed in its live path (question_encoder.py:33-34); omitted.
         # float key-padding mask is ADDED to logits (see module doc)
         key_bias = attn_mask.astype(jnp.float32)[:, None, None, :]
         for layer in layers:
-            x = layer(x, key_bias=key_bias, deterministic=deterministic)
+            x = layer(x, key_bias=key_bias, deterministic=True)
         return ln_apply(x, final.scale, final.bias, self.dtype)

@@ -3,6 +3,8 @@
 from .gat_kernel import fused_gat_layer, gat_layer_reference
 from .gat_train import fused_gat_layer_train, fused_gatconv
 from .metalayer_kernel import fused_metalayer, metalayer_reference
+from .text_train import (fused_decoder_layer_train,
+                         fused_encoder_layer_train)
 
 __all__ = [
     "fused_gat_layer",
@@ -11,4 +13,6 @@ __all__ = [
     "gat_layer_reference",
     "fused_metalayer",
     "metalayer_reference",
+    "fused_encoder_layer_train",
+    "fused_decoder_layer_train",
 ]
