@@ -263,6 +263,21 @@ def _time_stream(run_one, batches) -> float:
     return float(np.median(chunk_ms))
 
 
+def _time_stream_checked(run_one, batches, flops_per_batch) -> tuple:
+    """`_time_stream`, re-timed once if the implied FLOP rate exceeds
+    the chip's nominal peak — the tunnel occasionally returns
+    impossibly-fast windows (observed: a 16 ms/batch 'simple' read
+    that interleaved re-measurement put at the same ~56 ms as gumbel).
+    Returns (ms, retimed: bool); keeps the SLOWER, physically-possible
+    measurement."""
+    ms = _time_stream(run_one, batches)
+    peak = NOMINAL_PEAK_TFLOPS * 1e12
+    if flops_per_batch and flops_per_batch / (ms / 1e3) > 0.95 * peak:
+        ms = max(ms, _time_stream(run_one, batches))
+        return ms, True
+    return ms, False
+
+
 def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
                     iters: int = 12, dtype: str = "bfloat16",
                     node_caps=(16, 32, 64, 128), kernel_pack="auto"):
@@ -289,10 +304,11 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
     small_frac = 0.0
     for bkey in sorted(bucket_batches):
         batches = jax.device_put(bucket_batches[bkey], dev)
-        ms = _time_stream(lambda b: forward(params, b, key), batches)
         xla_flops = _flops_per_exec(forward, params, batches[0], key)
         kflops = _kernel_flops_per_batch(cfg, batches[0]) if on_tpu else 0.0
         total_flops = xla_flops + kflops
+        ms, retimed = _time_stream_checked(
+            lambda b: forward(params, b, key), batches, total_flops)
         w = bucket_weight[bkey]
         blended_t_q += w * (ms / 1e3) / batch_size
         blended_flops_q += w * total_flops / batch_size
@@ -304,6 +320,8 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
             "weight": round(w, 4),
             "batches_timed": len(batches) - 1,
         }
+        if retimed:
+            per_bucket[str(bkey)]["retimed"] = True
         if not _stream_is_distinct(bucket_batches[bkey][1:]):
             per_bucket[str(bkey)]["distinct_inputs"] = False
 
@@ -443,22 +461,29 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
                           *stream[i * multistep:(i + 1) * multistep])
                       for i in range(n_groups)]
         batches = jax.device_put(stream, dev)
-        xla_flops = (_flops_per_exec(step, state_box["s"], batches[0], rng)
-                     / multistep)
-        ms = _time_stream(run_one, batches) / multistep
+        # XLA cost analysis counts a lax.scan body ONCE regardless of
+        # trip count, so the scanned multistep program's reported flops
+        # already equal ~one step's worth — no division by K
+        xla_flops = _flops_per_exec(step, state_box["s"], batches[0], rng)
         kflops = (_train_kernel_flops_per_batch(cfg, bucket_batches[bkey][0])
                   if on_tpu else 0.0)
+        ms, retimed = _time_stream_checked(
+            run_one, batches, (xla_flops + kflops) * multistep)
+        ms /= multistep
         w = bucket_weight[bkey]
         blended_t_q += w * (ms / 1e3) / batch_size
         blended_flops_q += w * (xla_flops + kflops) / batch_size
         per_bucket[str(bkey)] = {"ms_per_step": round(ms, 2),
                                  "weight": round(w, 4)}
+        if retimed:
+            per_bucket[str(bkey)]["retimed"] = True
         if not _stream_is_distinct(bucket_batches[bkey][1:]):
             per_bucket[str(bkey)]["distinct_inputs"] = False
     n_chips = max(len(jax.devices()), 1)
     return {
         "sampler": sampler,
         "multistep": multistep,
+        "batch_size": batch_size,
         "train_qps_per_chip": 1.0 / blended_t_q / n_chips,
         "ms_per_step": blended_t_q * batch_size * 1e3,
         "flops_per_question": blended_flops_q,
@@ -503,6 +528,12 @@ def main():
                     help="training-step batch size (default = the "
                          "reference's bs 256; raise to measure the "
                          "saturated step)")
+    ap.add_argument("--train-batch-sat", type=int, default=1024,
+                    help="extra saturated-batch gumbel training row in "
+                         "--full (measured knee of the train-step "
+                         "batch curve: 45.3 TFLOP/s @256, 53.8 @512, "
+                         "58.5 @1024, 62.3 @2048 on the 32-cap "
+                         "bucket); 0 disables")
     ap.add_argument("--train-multistep", type=int, default=8,
                     help="K for the extra multi-step-dispatch training "
                          "row in --full (cfg.multistep: K scanned "
@@ -547,6 +578,12 @@ def main():
             train_rows.append(bench_train_step(sampler, args.train_batch,
                                                node_caps=tuple(args.node_caps),
                                                train_pack=args.train_pack))
+            print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
+        if args.train_batch_sat and args.train_batch_sat != args.train_batch:
+            train_rows.append(bench_train_step(
+                "gumbel", args.train_batch_sat,
+                node_caps=tuple(args.node_caps),
+                train_pack=args.train_pack))
             print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
         if args.train_multistep > 1:
             train_rows.append(bench_train_step(
@@ -623,6 +660,8 @@ def _write_details(rows, train_rows, args, e2e=None):
     ]
     for r in train_rows:
         name = r["sampler"]
+        if r.get("batch_size", args.train_batch) != args.train_batch:
+            name += f" (batch {r['batch_size']})"
         if r.get("multistep", 1) > 1:
             name += f" (multistep {r['multistep']})"
         lines.append(f"| {name} | {r['train_qps_per_chip']:.0f} "

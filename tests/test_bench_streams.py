@@ -56,6 +56,48 @@ def test_single_member_bucket_is_flagged_not_silently_blended():
     assert not _stream_is_distinct(batches)
 
 
+def test_time_stream_checked_retimes_impossible_readings(monkeypatch):
+    """A reading implying > 95% of nominal peak is a tunnel artifact
+    (dedup/caching): the guard re-times once and keeps the SLOWER,
+    physically-possible measurement."""
+    import bench
+
+    readings = [1.0, 50.0]  # first read impossibly fast, re-time sane
+    monkeypatch.setattr(bench, "_time_stream",
+                        lambda run_one, batches: readings.pop(0))
+    # rate implied by the 1 ms read = flops / 1e-3 s = 500x peak
+    flops = bench.NOMINAL_PEAK_TFLOPS * 1e12 * 0.5
+    ms, retimed = bench._time_stream_checked(None, None, flops)
+    assert retimed
+    assert ms == 50.0
+    assert not readings  # re-time actually ran
+
+
+def test_time_stream_checked_passes_plausible_readings(monkeypatch):
+    import bench
+
+    calls = []
+
+    def fake(run_one, batches):
+        calls.append(1)
+        return 100.0
+
+    monkeypatch.setattr(bench, "_time_stream", fake)
+    # implied rate = flops / 0.1 s = 0.1 * peak -> plausible, no re-time
+    flops = bench.NOMINAL_PEAK_TFLOPS * 1e12 * 0.01
+    ms, retimed = bench._time_stream_checked(None, None, flops)
+    assert ms == 100.0 and not retimed and len(calls) == 1
+
+
+def test_time_stream_checked_zero_flops_disables_guard(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "_time_stream",
+                        lambda run_one, batches: 0.001)
+    ms, retimed = bench._time_stream_checked(None, None, 0.0)
+    assert ms == 0.001 and not retimed
+
+
 def test_streams_deterministic_across_calls():
     """Seeded per bucket: re-running the bench times the same stream."""
     ds, collators = _setup(size=10)
