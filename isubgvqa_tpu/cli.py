@@ -91,6 +91,12 @@ def get_argparser() -> argparse.ArgumentParser:
                    help="mesh devices along the model axis (>1 shards "
                         "the big embedding/head tables; TP)")
     p.add_argument("--question_len", type=int, default=d.question_len)
+    p.add_argument("--clip_weights", default=d.clip_weights,
+                   help="pretrained CLIP text token/position tables "
+                        "(.npz/.safetensors/.pth) copied into the "
+                        "question encoder at init, mirroring the "
+                        "reference's CLIPModel deep-copy "
+                        "(isubgvqa.py:119-121)")
     p.add_argument("--num_answers", type=int, default=d.num_answers)
     p.add_argument("--profile_dir", default=d.profile_dir,
                    help="capture a jax.profiler trace of fit() here and "

@@ -51,6 +51,11 @@ class Config:
         "ISUBGVQA_META_DIR", "/root/reference/ISubGVQA/meta_info"
     )
     glove_path: Optional[str] = None        # optional glove.6B.300d.txt
+    # pretrained CLIP text token/position tables (.npz/.safetensors/.pth)
+    # for fresh-model init — the reference deep-copies them from
+    # CLIPModel at construction (isubgvqa.py:119-121).  None = random
+    # init (sandbox default; convert.py still loads full checkpoints).
+    clip_weights: Optional[str] = None
     clip_tokenizer_dir: Optional[str] = None  # optional CLIP vocab.json/merges.txt
     text_vocab_size: int = 49408            # CLIP vocab size
     question_len: int = 32                  # static padded question length

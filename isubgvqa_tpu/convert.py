@@ -56,6 +56,16 @@ def strip_ddp_prefix(sd: Mapping[str, object]) -> Dict[str, object]:
             for k, v in sd.items()}
 
 
+def _clip_tables_from_sd(sd: Mapping) -> Dict[str, np.ndarray]:
+    """CLIP text token/position tables out of an in-memory state dict
+    (any accepted key spelling; see CLIP_TEXT_TABLE_KEYS)."""
+    for tok_key, pos_key in CLIP_TEXT_TABLE_KEYS:
+        if tok_key in sd and pos_key in sd:
+            return {"token_embedding": _a(sd[tok_key]),
+                    "position_embedding": _a(sd[pos_key])}
+    raise KeyError("no CLIP text-embedding tables in state dict")
+
+
 def _attn(sd: Mapping, prefix: str) -> Dict:
     """torch nn.MultiheadAttention -> q/k/v/out Dense params."""
     in_w = _a(sd[f"{prefix}.in_proj_weight"])     # [3D, D]
@@ -111,11 +121,10 @@ def convert_state_dict(sd: Mapping[str, object],
 
     # ---- question encoder
     qe: Dict = {
+        # same key search as load_clip_text_tables so the converter and
+        # the --clip_weights init path produce identical tables
         "text_vocab_embedding": {
-            "token_embedding": {"embedding": _a(
-                sd["text_vocab_embedding.token_embedding.weight"])},
-            "position_embedding": {"embedding": _a(
-                sd["text_vocab_embedding.position_embedding.weight"])},
+            k: {"embedding": v} for k, v in _clip_tables_from_sd(sd).items()
         },
         "final_norm": _ln(sd, "question_encoder.transformer_encoder.norm"),
     }
@@ -237,6 +246,64 @@ def convert_state_dict(sd: Mapping[str, object],
     return params, stats
 
 
+# Accepted key spellings for the pretrained CLIP text tables, in
+# lookup order: this framework's / the reference state-dict names
+# (``isubgvqa.py:119-121`` deep-copies CLIPModel's text embeddings into
+# ``text_vocab_embedding``), the HuggingFace CLIPModel names the
+# reference copies *from*, and bare npz-style keys.
+CLIP_TEXT_TABLE_KEYS = (
+    ("text_vocab_embedding.token_embedding.weight",
+     "text_vocab_embedding.position_embedding.weight"),
+    ("text_model.embeddings.token_embedding.weight",
+     "text_model.embeddings.position_embedding.weight"),
+    ("token_embedding", "position_embedding"),
+)
+
+
+def load_clip_text_tables(path: str) -> Dict[str, np.ndarray]:
+    """Load pretrained CLIP text token + position embedding tables.
+
+    One loader serves both consumers — ``--clip_weights`` fresh-model
+    initialization (:func:`isubgvqa_tpu.models.build.apply_clip_text_tables`)
+    and full-checkpoint conversion — so the two paths produce identical
+    tables.  Accepts:
+
+    * ``.npz`` with ``token_embedding`` / ``position_embedding`` arrays
+      (or either alternative key spelling below),
+    * ``.safetensors`` flat tensor files (e.g. a dumped CLIPModel),
+    * torch ``.pth``/``.pt``/``.bin``: a raw state dict, a reference
+      training checkpoint (``{"model": state_dict}``,
+      ``training/train_loop.py:88-94``; DDP prefixes stripped), or a
+      HuggingFace CLIPModel state dict.
+
+    Returns ``{"token_embedding": [V, D], "position_embedding": [P, D]}``
+    as float32 numpy arrays.
+    """
+    lower = path.lower()
+    if lower.endswith(".npz"):
+        blob = dict(np.load(path))
+    elif lower.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        blob = load_file(path)
+    else:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, Mapping) and "model" in ckpt:
+            ckpt = ckpt["model"]
+        blob = {k: v.numpy() if hasattr(v, "numpy") else v
+                for k, v in ckpt.items()}
+    blob = strip_ddp_prefix(blob)
+    try:
+        return _clip_tables_from_sd(blob)
+    except KeyError:
+        raise KeyError(
+            f"no CLIP text-embedding tables found in {path!r}; expected "
+            f"one of the key pairs {CLIP_TEXT_TABLE_KEYS} (got keys "
+            f"{sorted(blob)[:8]}...)") from None
+
+
 def convert_checkpoint_file(path: str, out_dir: str, **kw) -> str:
     """Load a reference ``.pth`` with torch (CPU) and write an orbax
     checkpoint loadable by this framework's CheckpointManager."""
@@ -254,3 +321,58 @@ def convert_checkpoint_file(path: str, out_dir: str, **kw) -> str:
                 force=True)
     ckpter.wait_until_finished()
     return out_dir
+
+
+# Config fields recoverable from the reference's checkpointed ``args``
+# (the reference persists args wholesale, ``training/train_loop.py:88-94``,
+# and rebuilds the model from them, ``run_token_coo.py:29-45``).
+_ARGS_CONFIG_FIELDS = (
+    "mgat_layers", "sampler_type", "sample_k", "nb_samples", "alpha",
+    "beta", "tau", "use_topk", "interpretable_mode", "concat_instr",
+    "use_all_instrs", "use_global_mask", "text_sampling",
+    "general_hidden_dim",
+)
+
+
+def convert_reference_checkpoint(src: str, out_dir: str):
+    """Full reference-checkpoint conversion: torch ``.pth`` -> orbax
+    checkpoint + ``<out_dir>.meta.json`` (epoch + Config derived from
+    the checkpointed args), restorable by CheckpointManager /
+    run_token_coo.py / scripts/parity_report.py.
+
+    Returns ``(out_dir, cfg)``.  Shared by ``tools/convert_checkpoint.py``
+    and the parity harness so both produce identical artifacts.
+    """
+    import json
+    import os
+
+    import torch
+
+    from .config import Config
+
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() for k, v in strip_ddp_prefix(ckpt["model"]).items()
+          if hasattr(v, "numpy")}
+    args = ckpt.get("args")
+    mgat_layers = getattr(args, "mgat_layers", 4)
+    params, stats = convert_state_dict(sd, mgat_layers=mgat_layers)
+
+    cfg_kwargs = {}
+    for name in _ARGS_CONFIG_FIELDS:
+        if args is not None and hasattr(args, name):
+            cfg_kwargs[name] = getattr(args, name)
+    if args is not None and hasattr(args, "mgat_masks"):
+        cfg_kwargs["mgat_masks"] = tuple(args.mgat_masks)
+    cfg = Config(**{k: v for k, v in cfg_kwargs.items() if v is not None})
+
+    import orbax.checkpoint as ocp
+
+    out_dir = os.path.abspath(out_dir)
+    ckpter = ocp.StandardCheckpointer()
+    ckpter.save(out_dir, {"params": params, "batch_stats": stats},
+                force=True)
+    ckpter.wait_until_finished()
+    with open(out_dir + ".meta.json", "w") as f:
+        json.dump({"epoch": ckpt.get("epoch", -1),
+                   "config": json.loads(cfg.to_json())}, f)
+    return out_dir, cfg

@@ -42,7 +42,11 @@ def init_model(model: ISubGVQA, batch: GraphBatch, seed: int = 3407,
     cpu = None
     if on_cpu:
         try:
-            cpu = jax.devices("cpu")[0]
+            # local_devices, not devices: in a multi-process runtime
+            # jax.devices("cpu")[0] is the COORDINATOR's device — a
+            # non-addressable default_device segfaults eager dispatch
+            # on every other process (caught by test_multiprocess.py)
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu = None
     if cpu is not None:
@@ -54,6 +58,38 @@ def init_model(model: ISubGVQA, batch: GraphBatch, seed: int = 3407,
         variables = model.init(rngs, batch, train=False,
                                aimle_states=aimle_states)
     return variables["params"], variables.get("batch_stats", {})
+
+
+def apply_clip_text_tables(params, tables) -> dict:
+    """Overwrite the question encoder's token/position tables with
+    pretrained CLIP embeddings.
+
+    Fresh-training equivalent of the reference's deep-copy init
+    (``/root/reference/ISubGVQA/models/isubgvqa.py:119-121``: the text
+    embedding tables start from pretrained CLIPModel weights, not
+    random init).  ``tables`` is the dict returned by
+    :func:`isubgvqa_tpu.convert.load_clip_text_tables` — the same
+    loader the full-checkpoint converter uses, so both paths produce
+    identical tables.  Returns a new params tree (input not mutated).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    emb = dict(params["question_encoder"]["text_vocab_embedding"])
+    for name in ("token_embedding", "position_embedding"):
+        tgt = emb[name]["embedding"]
+        src = np.asarray(tables[name], np.float32)
+        if src.shape != tgt.shape:
+            raise ValueError(
+                f"pretrained CLIP {name} shape {src.shape} does not match "
+                f"the model's table {tuple(tgt.shape)} — check "
+                f"text_vocab_size / question-position config")
+        emb[name] = {"embedding": jnp.asarray(src, tgt.dtype)}
+    qe = dict(params["question_encoder"])
+    qe["text_vocab_embedding"] = emb
+    new_params = dict(params)
+    new_params["question_encoder"] = qe
+    return new_params
 
 
 def make_aimle_states(cfg: Config):

@@ -3,8 +3,11 @@
 Equivalent of the reference's ``QuestionEncoder``
 (``models/question_encoder.py:6-38``) fed by a deep copy of CLIP's text
 embeddings (``isubgvqa.py:119-121`` — token table + learned positional
-table; CLIP weights are loaded when available, else trained from
-random init).
+table).  The pretrained tables arrive either via ``--clip_weights``
+at fresh init (:func:`isubgvqa_tpu.models.build.apply_clip_text_tables`
+over :func:`isubgvqa_tpu.convert.load_clip_text_tables`) or via full
+checkpoint conversion (:mod:`isubgvqa_tpu.convert`); without either,
+the tables train from random init.
 
 Reference quirk reproduced: torch's ``src_key_padding_mask`` is passed
 as a *float* (``question_encoder.py:36``), which torch treats as an

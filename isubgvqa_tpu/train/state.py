@@ -39,6 +39,15 @@ def create_train_state(model: ISubGVQA, optimizer: optax.GradientTransformation,
     aimle_states = make_aimle_states(cfg)
     params, batch_stats = init_model(model, sample_batch, seed=cfg.seed,
                                      aimle_states=aimle_states)
+    if cfg.clip_weights:
+        # pretrained CLIP text-embedding init for fresh training — the
+        # reference deep-copies CLIPModel's text tables at construction
+        # (isubgvqa.py:119-121); same loader as the full converter
+        from ..convert import load_clip_text_tables
+        from ..models.build import apply_clip_text_tables
+
+        params = apply_clip_text_tables(
+            params, load_clip_text_tables(cfg.clip_weights))
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
