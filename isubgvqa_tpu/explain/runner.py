@@ -70,6 +70,7 @@ def run_token_coo_exp(
     seed: int = 0,
     shard_index: Optional[int] = None,
     num_shards: Optional[int] = None,
+    collect_masks: Optional[dict] = None,
 ) -> ExplainResults:
     """Multi-host runs shard the dev set per process (the Trainer's
     DistributedSampler-parity pattern, ``train/loop.py``) and reduce
@@ -154,6 +155,15 @@ def run_token_coo_exp(
                     for i in range(qst_ids.shape[1])
                     if qst_valid[s, i] and mask_text[s, i] == 1.0
                 ]
+
+            if collect_masks is not None:
+                # per-sample artifacts for external parity tooling
+                # (scripts/parity_report.py mask-overlap comparison)
+                collect_masks[str(meta.question_ids[s])] = {
+                    "mask": np.asarray(mask_s, np.float32),
+                    "pred": answer_str,
+                    "gt": label_gt,
+                }
 
             accuracy.append(float(answer_str == label_gt))   # :145
             if answer_str in node_labels:                     # :146-147
