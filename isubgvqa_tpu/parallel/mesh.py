@@ -71,6 +71,28 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def put_batch(batch, sharding: NamedSharding):
+    """Place a per-host batch onto a (possibly multi-process) mesh.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: each host
+    holds a *different* slice of the global batch (the lock-step
+    bucketed schedule gives host ``i`` the round's ``i``-th chunk,
+    DistributedSampler parity), and ``jax.device_put`` refuses
+    per-host-different data on a cross-process sharding — the global
+    array is assembled with
+    ``jax.make_array_from_process_local_data`` instead, so the global
+    batch is ``process_count * batch_size`` exactly like DDP's
+    per-rank batch size (``run_training_ddp.sh:23-31``).  Pinned by
+    ``tests/test_multiprocess.py``."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / train state) across the mesh."""
     sh = replicate_sharding(mesh)

@@ -23,7 +23,7 @@ from ..data.batching import (group_multistep, iterate_batches,
 from ..data.build import DataBundle
 from .distributed_metrics import reduce_dict
 from ..parallel.mesh import (batch_sharding, is_main_process, make_mesh,
-                             shard_state, stacked_batch_sharding)
+                             put_batch, shard_state, stacked_batch_sharding)
 from ..utils.profiling import StepProfiler, trace
 from .checkpoint import CheckpointManager
 from .metrics import AverageMeter, ProgressMeter, StepTimer
@@ -128,10 +128,16 @@ class Trainer:
             def place(item):
                 tag, batch, meta = item
                 sh = multi_sh if tag == "multi" else single_sh
-                return (tag, jax.device_put(batch, sh), meta)
+                return (tag, put_batch(batch, sh), meta)
 
             return prefetch(it, depth=2, device=place)
-        return prefetch(it, depth=2, device=batch_sharding(self.mesh))
+        single_sh = batch_sharding(self.mesh)
+
+        def place_single(item):
+            batch, meta = item
+            return put_batch(batch, single_sh), meta
+
+        return prefetch(it, depth=2, device=place_single)
 
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
