@@ -53,9 +53,10 @@ import numpy as np
 BASELINE_QPS = 10_000.0
 # Nominal TPU v5e bf16 peak.  (Earlier rounds used a "39 TFLOP/s
 # practical peak" from a tunnel microbenchmark; the full fused program
-# sustains ~45 TFLOP/s of implementation FLOPs, so that figure was a
-# measurement artifact — the tunnel dedups/congests microbenchmarks,
-# exactly as CLAUDE.md warns.  MFU is now reported against nominal.)
+# sustains ~65 TFLOP/s of implementation FLOPs in healthy windows, so
+# that figure was a measurement artifact — the tunnel dedups/congests
+# microbenchmarks, exactly as CLAUDE.md warns.  MFU is reported
+# against nominal.)
 NOMINAL_PEAK_TFLOPS = 197.0
 
 
@@ -278,6 +279,78 @@ def _time_stream_checked(run_one, batches, flops_per_batch) -> tuple:
     return ms, False
 
 
+# ---------------------------------------------------------------- bucket
+# timing profile: the symmetric guard to the too-fast check above.  The
+# shared tunnel shows transient 2-3x congestion episodes (CLAUDE.md);
+# a bucket reading much slower than its last-healthy time is re-timed
+# once and, if still slow, flagged ``congested`` so the blended
+# headline carries the annotation instead of silently absorbing a bad
+# window (round-3's (64,16) bucket read 162 ms vs a healthy 101 ms).
+# The profile persists the FASTEST time seen per (mode, sampler,
+# batch, bucket, pack) key under ``~/.cache/isubgvqa_tpu`` — wiped with
+# the compile cache on sandbox resets, so it never outlives the code
+# it measured.  ``ISUBGVQA_BENCH_PROFILE=0`` disables.
+CONGESTION_FACTOR = 1.5
+
+
+def _profile_path() -> str:
+    import os
+
+    override = os.environ.get("ISUBGVQA_BENCH_PROFILE")
+    if override in ("0", "off"):
+        return ""
+    if override:
+        return override
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "isubgvqa_tpu", "bench_profile.json")
+
+
+def _load_profile() -> dict:
+    import os
+
+    path = _profile_path()
+    if path and os.path.isfile(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+    return {}
+
+
+def _store_profile_time(profile: dict, key: str, ms: float) -> None:
+    import os
+
+    path = _profile_path()
+    if not path:
+        return
+    prior = profile.get(key)
+    if prior is not None and prior <= ms:
+        return
+    profile[key] = round(ms, 3)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(profile, f, indent=0, sort_keys=True)
+
+
+def _time_stream_guarded(run_one, batches, flops_per_batch,
+                         profile: dict, profile_key: str) -> tuple:
+    """Both guards: too-fast (dedup artifact -> keep slower) and
+    too-slow vs the stored last-healthy profile (congestion -> re-time
+    once, keep faster, flag if still > CONGESTION_FACTOR x healthy).
+    Returns (ms, retimed, congested)."""
+    ms, retimed = _time_stream_checked(run_one, batches, flops_per_batch)
+    prior = profile.get(profile_key) if profile_key else None
+    congested = False
+    if prior is not None and ms > CONGESTION_FACTOR * prior:
+        ms = min(ms, _time_stream(run_one, batches))
+        retimed = True
+        congested = ms > CONGESTION_FACTOR * prior
+    if profile_key and not congested:
+        _store_profile_time(profile, profile_key, ms)
+    return ms, retimed, congested
+
+
 def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
                     iters: int = 12, dtype: str = "bfloat16",
                     node_caps=(16, 32, 64, 128), kernel_pack="auto"):
@@ -298,17 +371,22 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
 
     key = jax.random.PRNGKey(0)
     on_tpu = jax.default_backend() == "tpu"
+    profile = _load_profile()
     per_bucket = {}
     blended_t_q = 0.0          # seconds per question, mix-weighted
     blended_flops_q = 0.0
     small_frac = 0.0
+    congested_buckets = []
     for bkey in sorted(bucket_batches):
         batches = jax.device_put(bucket_batches[bkey], dev)
         xla_flops = _flops_per_exec(forward, params, batches[0], key)
         kflops = _kernel_flops_per_batch(cfg, batches[0]) if on_tpu else 0.0
         total_flops = xla_flops + kflops
-        ms, retimed = _time_stream_checked(
-            lambda b: forward(params, b, key), batches, total_flops)
+        pkey = (f"infer:{sampler}:{batch_size}:{bkey}:{kernel_pack}:{dtype}"
+                if on_tpu else "")
+        ms, retimed, congested = _time_stream_guarded(
+            lambda b: forward(params, b, key), batches, total_flops,
+            profile, pkey)
         w = bucket_weight[bkey]
         blended_t_q += w * (ms / 1e3) / batch_size
         blended_flops_q += w * total_flops / batch_size
@@ -322,12 +400,15 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
         }
         if retimed:
             per_bucket[str(bkey)]["retimed"] = True
+        if congested:
+            per_bucket[str(bkey)]["congested"] = True
+            congested_buckets.append(str(bkey))
         if not _stream_is_distinct(bucket_batches[bkey][1:]):
             per_bucket[str(bkey)]["distinct_inputs"] = False
 
     qps = 1.0 / blended_t_q
     n_chips = max(len(jax.devices()), 1)
-    return {
+    out = {
         "sampler": sampler,
         "qps_per_chip": qps / n_chips,
         "ms_per_batch": blended_t_q * batch_size * 1e3,
@@ -338,6 +419,9 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
                / (NOMINAL_PEAK_TFLOPS * 1e12 * n_chips),
         "per_bucket": per_bucket,
     }
+    if congested_buckets:
+        out["congested_buckets"] = congested_buckets
+    return out
 
 
 def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
@@ -434,18 +518,21 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
     # donate the state exactly as the Trainer does (train/loop.py:62-64,
     # cfg.donate_state default): without donation XLA keeps a second
     # copy of params+Adam state alive per step
+    single_step = jax.jit(make_train_step(model, optimizer, cfg),
+                          donate_argnums=0)
     if multistep > 1:
         step = jax.jit(make_multistep_train_step(model, optimizer, cfg),
                        donate_argnums=0)
     else:
-        step = jax.jit(make_train_step(model, optimizer, cfg),
-                       donate_argnums=0)
+        step = single_step
     rng = jax.random.PRNGKey(0)
     on_tpu = jax.default_backend() == "tpu"
+    profile = _load_profile()
 
     blended_t_q = 0.0
     blended_flops_q = 0.0
     per_bucket = {}
+    congested_buckets = []
     state_box = {"s": state}
 
     def run_one(b):
@@ -461,14 +548,25 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
                           *stream[i * multistep:(i + 1) * multistep])
                       for i in range(n_groups)]
         batches = jax.device_put(stream, dev)
-        # XLA cost analysis counts a lax.scan body ONCE regardless of
-        # trip count, so the scanned multistep program's reported flops
-        # already equal ~one step's worth — no division by K
-        xla_flops = _flops_per_exec(step, state_box["s"], batches[0], rng)
+        # FLOPs/question must be dispatch-mode-invariant (the K scanned
+        # updates run exactly the single-step math K times), so the
+        # XLA-visible count always comes from lowering the SINGLE-step
+        # program — round 3 read the scanned program's cost analysis,
+        # which under-counts the scan body (3,097 vs 5,700 MFLOPs/q for
+        # identical per-question math; pinned by
+        # test_bench_streams.py::test_multistep_flops_accounting_is_
+        # dispatch_invariant).  Abstract lowering only; the timed
+        # executable is still the scanned one.
+        single_batch = jax.device_put(bucket_batches[bkey][0], dev)
+        xla_flops = _flops_per_exec(single_step, state_box["s"],
+                                    single_batch, rng)
         kflops = (_train_kernel_flops_per_batch(cfg, bucket_batches[bkey][0])
                   if on_tpu else 0.0)
-        ms, retimed = _time_stream_checked(
-            run_one, batches, (xla_flops + kflops) * multistep)
+        pkey = (f"train:{sampler}:{batch_size}:{bkey}:{train_pack}:"
+                f"{dtype}:k{multistep}" if on_tpu else "")
+        ms, retimed, congested = _time_stream_guarded(
+            run_one, batches, (xla_flops + kflops) * multistep,
+            profile, pkey)
         ms /= multistep
         w = bucket_weight[bkey]
         blended_t_q += w * (ms / 1e3) / batch_size
@@ -477,10 +575,13 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
                                  "weight": round(w, 4)}
         if retimed:
             per_bucket[str(bkey)]["retimed"] = True
+        if congested:
+            per_bucket[str(bkey)]["congested"] = True
+            congested_buckets.append(str(bkey))
         if not _stream_is_distinct(bucket_batches[bkey][1:]):
             per_bucket[str(bkey)]["distinct_inputs"] = False
     n_chips = max(len(jax.devices()), 1)
-    return {
+    out = {
         "sampler": sampler,
         "multistep": multistep,
         "batch_size": batch_size,
@@ -492,6 +593,9 @@ def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
                / (NOMINAL_PEAK_TFLOPS * 1e12 * n_chips),
         "per_bucket": per_bucket,
     }
+    if congested_buckets:
+        out["congested_buckets"] = congested_buckets
+    return out
 
 
 def _round_tree(x):
@@ -556,6 +660,11 @@ def main():
         "unit": "questions/sec/chip",
         "vs_baseline": round(head["qps_per_chip"] / BASELINE_QPS, 3),
     }
+    if head.get("congested_buckets"):
+        # tunnel congestion survived the re-time on these buckets: the
+        # blended headline is depressed accordingly (see per-bucket
+        # breakdown on stderr)
+        result["congested_buckets"] = head["congested_buckets"]
     print(json.dumps(_round_tree(head)), file=sys.stderr)
 
     e2e = None
@@ -618,8 +727,11 @@ def _write_details(rows, train_rows, args, e2e=None):
         "|---|---|---|---|---|---|",
     ]
     for r in rows:
+        name = r["sampler"]
+        if r.get("congested_buckets"):
+            name += f" (congested: {','.join(r['congested_buckets'])})"
         lines.append(
-            f"| {r['sampler']} | {r['qps_per_chip']:.0f} "
+            f"| {name} | {r['qps_per_chip']:.0f} "
             f"| {r['ms_per_batch']:.1f} | {r['tflops_per_sec']:.1f} "
             f"| {r['mfu']*100:.1f}% "
             f"| {r['flops_per_question']/1e6:.0f} |")
@@ -630,8 +742,9 @@ def _write_details(rows, train_rows, args, e2e=None):
         "",
     ]
     for bkey, d in rows[0]["per_bucket"].items():
+        tag = " **congested**" if d.get("congested") else ""
         lines.append(f"- `{bkey}`: {d['ms_per_batch']} ms/batch, "
-                     f"{d['qps']} q/s, weight {d['weight']}")
+                     f"{d['qps']} q/s, weight {d['weight']}{tag}")
     if e2e is not None:
         lines += [
             "",
@@ -664,6 +777,8 @@ def _write_details(rows, train_rows, args, e2e=None):
             name += f" (batch {r['batch_size']})"
         if r.get("multistep", 1) > 1:
             name += f" (multistep {r['multistep']})"
+        if r.get("congested_buckets"):
+            name += f" (congested: {','.join(r['congested_buckets'])})"
         lines.append(f"| {name} | {r['train_qps_per_chip']:.0f} "
                      f"| {r['ms_per_step']:.1f} "
                      f"| {r['tflops_per_sec']:.1f} | {r['mfu']*100:.1f}% "
