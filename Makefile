@@ -21,4 +21,4 @@ dryrun:
 	python __graft_entry__.py
 
 docs:
-	sphinx-build -b html docs docs/_build/html
+	sphinx-build -W -b html docs docs/_build/html
