@@ -459,8 +459,14 @@ def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
 
     epoch_s, n_questions = [], 0
     for ep in range(epochs):
+        # group_by_bucket: eval order is free, and every bucket switch
+        # re-dispatches a different executable (a tunnel sync, ~0.3 s);
+        # grouped order pays num_buckets switches per epoch instead of
+        # ~num_batches.  shuffle still randomizes batch composition
+        # (distinct inputs for the tunnel dedup).
         it = prefetch(iterate_batches_bucketed(
-            ds, collators, shuffle=True, seed=100 + ep, drop_last=False),
+            ds, collators, shuffle=True, seed=100 + ep, drop_last=False,
+            group_by_bucket=True),
             depth=3, device=dev)
         in_flight = []
         n_q = 0
@@ -478,6 +484,9 @@ def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
     return {
         "sampler": sampler,
         "e2e_qps_per_chip": n_questions / sec / n_chips,
+        # fastest epoch = healthy-window estimate (congestion episodes
+        # depress whole epochs; the median can land inside one)
+        "e2e_qps_best": n_questions / float(np.min(epoch_s)) / n_chips,
         "questions_per_epoch": n_questions,
         "epoch_seconds": [round(s, 3) for s in epoch_s],
     }

@@ -345,6 +345,7 @@ def iterate_batches_bucketed(
     shard_index: int = 0,
     num_shards: int = 1,
     pad_shards: bool = True,
+    group_by_bucket: bool = False,
 ) -> Iterator[tuple[GraphBatch, BatchMeta]]:
     """Size-bucketed iteration: each sample goes to the smallest bucket
     whose node, edge, *and* question-length caps fit it, so small
@@ -377,6 +378,16 @@ def iterate_batches_bucketed(
     unequal per-host step counts.  Use for metrics-only eval loops with
     no per-step collectives (the explain runner), where duplicate
     samples would skew sums; lock-step training must keep the default.
+
+    ``group_by_bucket=True`` keeps the round order grouped per bucket
+    even under ``shuffle`` (which then only randomizes batch
+    *composition*): every bucket switch re-dispatches a different
+    executable, which costs a device sync — through the sandbox
+    tunnel ~0.3 s each, so a randomly interleaved epoch of B batches
+    pays ~B syncs where a grouped one pays ``num_buckets``.  Use for
+    order-free eval/benchmark loops; training keeps interleaved order
+    (grouped order would feed the optimizer all small graphs before
+    all large ones every epoch).
     """
     caps = sorted(collators.keys(), key=_norm_bucket_key)
     # the FULL index list on every host — sharding happens on the
@@ -405,7 +416,7 @@ def iterate_batches_bucketed(
             chunks += [chunks[i % len(chunks)] for i in range(pad)]  # wrap
         for i in range(0, len(chunks), num_shards):
             rounds.append((cap, chunks[i:i + num_shards]))
-    if shuffle:
+    if shuffle and not group_by_bucket:
         rng.shuffle(rounds)
     for cap, group in rounds:
         if shard_index < len(group):

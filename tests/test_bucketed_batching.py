@@ -394,3 +394,37 @@ def test_route_size_cache_avoids_refetch():
     second = route_to_buckets(ds, collators)
     assert calls["n"] == n_after_first, "cached sizes must be reused"
     assert first == second
+
+
+def test_group_by_bucket_contiguous_and_complete():
+    """group_by_bucket=True: shuffled composition, but each bucket's
+    batches are emitted in one contiguous block (eval/bench loops pay
+    one executable switch per bucket, not per batch)."""
+    vocab = SceneGraphVocab.synthetic()
+    answers = AnswerMap.synthetic(16)
+    ds = SyntheticGQA(vocab, answers, size=40, seed=0)
+    tok = HashWordTokenizer(max_len=12)
+    collators = {
+        8: Collator(tok, BucketSpec(4, max_nodes_per_graph=8,
+                                    max_edges_per_graph=48,
+                                    question_len=12), vocab=vocab),
+        32: Collator(tok, BucketSpec(4, max_nodes_per_graph=32,
+                                     max_edges_per_graph=160,
+                                     question_len=12), vocab=vocab),
+    }
+    caps_seen, qids = [], []
+    for batch, meta in iterate_batches_bucketed(
+            ds, collators, shuffle=True, seed=3, group_by_bucket=True):
+        caps_seen.append(batch.max_nodes_per_graph)
+        qids.extend(meta.question_ids)
+    # contiguous blocks: number of cap transitions == distinct caps - 1
+    transitions = sum(1 for a, b in zip(caps_seen, caps_seen[1:])
+                      if a != b)
+    assert transitions == len(set(caps_seen)) - 1
+    # same coverage as the interleaved order
+    qids_interleaved = []
+    for _, meta in iterate_batches_bucketed(ds, collators, shuffle=True,
+                                            seed=3):
+        qids_interleaved.extend(meta.question_ids)
+    assert sorted(qids) == sorted(qids_interleaved)
+    assert len(set(qids)) == 40
