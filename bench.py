@@ -264,6 +264,15 @@ def _time_stream(run_one, batches) -> float:
     return float(np.median(chunk_ms))
 
 
+def _rate_impossible(ms: float, flops_per_batch: float) -> bool:
+    """True when the implied FLOP rate exceeds ~95% of nominal peak —
+    a physically impossible reading (tunnel dedup artifact) that must
+    never be persisted as a bucket's healthy floor."""
+    if not flops_per_batch or ms <= 0:
+        return False
+    return flops_per_batch / (ms / 1e3) > 0.95 * NOMINAL_PEAK_TFLOPS * 1e12
+
+
 def _time_stream_checked(run_one, batches, flops_per_batch) -> tuple:
     """`_time_stream`, re-timed once if the implied FLOP rate exceeds
     the chip's nominal peak — the tunnel occasionally returns
@@ -272,8 +281,7 @@ def _time_stream_checked(run_one, batches, flops_per_batch) -> tuple:
     Returns (ms, retimed: bool); keeps the SLOWER, physically-possible
     measurement."""
     ms = _time_stream(run_one, batches)
-    peak = NOMINAL_PEAK_TFLOPS * 1e12
-    if flops_per_batch and flops_per_batch / (ms / 1e3) > 0.95 * peak:
+    if _rate_impossible(ms, flops_per_batch):
         ms = max(ms, _time_stream(run_one, batches))
         return ms, True
     return ms, False
@@ -328,7 +336,9 @@ def _store_profile_time(profile: dict, key: str, ms: float) -> None:
     if prior is not None and prior <= ms:
         return
     profile[key] = round(ms, 3)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "w") as f:
         json.dump(profile, f, indent=0, sort_keys=True)
 
@@ -343,10 +353,16 @@ def _time_stream_guarded(run_one, batches, flops_per_batch,
     prior = profile.get(profile_key) if profile_key else None
     congested = False
     if prior is not None and ms > CONGESTION_FACTOR * prior:
-        ms = min(ms, _time_stream(run_one, batches))
+        # the re-time replays a stream the tunnel has already executed
+        # once — exactly the dedup condition — so it must go through
+        # the too-fast check too, or a dedup artifact wins the min()
+        # and poisons the stored healthy floor
+        ms2, _ = _time_stream_checked(run_one, batches, flops_per_batch)
+        ms = min(ms, ms2)
         retimed = True
         congested = ms > CONGESTION_FACTOR * prior
-    if profile_key and not congested:
+    if profile_key and not congested and not _rate_impossible(
+            ms, flops_per_batch):
         _store_profile_time(profile, profile_key, ms)
     return ms, retimed, congested
 
@@ -397,6 +413,11 @@ def bench_inference(sampler: str = "gumbel", batch_size: int = 2048,
             "qps": round(batch_size / (ms / 1e3), 1),
             "weight": round(w, 4),
             "batches_timed": len(batches) - 1,
+            # per-bucket FLOP rate + MFU (VERDICT r4 item 4): shows
+            # where the MXU underfills — small buckets especially
+            "tflops_per_sec": round(total_flops / (ms / 1e3) / 1e12, 2),
+            "mfu": round(total_flops / (ms / 1e3)
+                         / (NOMINAL_PEAK_TFLOPS * 1e12), 4),
         }
         if retimed:
             per_bucket[str(bkey)]["retimed"] = True
@@ -490,6 +511,78 @@ def bench_e2e(sampler: str = "gumbel", batch_size: int = 2048,
         "questions_per_epoch": n_questions,
         "epoch_seconds": [round(s, 3) for s in epoch_s],
     }
+
+
+def bench_explain(sampler: str = "gumbel", batch_size: int = 2048,
+                  dtype: str = "bfloat16", node_caps=(16, 32, 64, 128),
+                  kernel_pack="auto", dev_size: int = 20480,
+                  passes: int = 3):
+    """End-to-end explanation-extraction throughput (VERDICT r4 item
+    6): the REAL ``run_token_coo_exp`` pipeline — bucketed host
+    iteration + native collate + prefetch + jitted forward with
+    device-side argmax + the vectorized host metric pass — over a
+    GQA-realistic synthetic dev set, questions/sec/chip.
+
+    This measures the path the rebuild exists to accelerate (the
+    reference's batch=1 Python loop, ``run_token_coo.py:49-185``).
+    The first pass pays compiles and is discarded; later passes vary
+    the eval seed so every dispatch stays distinct for the tunnel's
+    dedup."""
+    import contextlib
+    import dataclasses
+    import io
+    import types
+
+    from isubgvqa_tpu.data.build import build_datasets
+    from isubgvqa_tpu.explain import run_token_coo_exp
+    from isubgvqa_tpu.models.build import (build_model, init_model,
+                                           make_aimle_states)
+
+    cfg = _cfg(sampler, batch_size, dtype, node_caps, kernel_pack)
+    cfg = dataclasses.replace(
+        cfg, synthetic=True, synthetic_size=dev_size * 4,
+        synthetic_shape_mix="gqa",
+        eval_batch_factor=1,      # eval batches at the benched size
+    )
+    data = build_datasets(cfg)
+    cfg = dataclasses.replace(cfg, num_answers=len(data.answers))
+    model = build_model(cfg, data.vocab)
+    aimle_states = make_aimle_states(cfg)
+    sample, _ = next(iter(_first_dev_batch(data)))
+    params, batch_stats = init_model(model, sample,
+                                     aimle_states=aimle_states)
+    dev = jax.devices()[0]
+    state = types.SimpleNamespace(
+        params=jax.device_put(params, dev),
+        batch_stats=jax.device_put(batch_stats, dev),
+        aimle_states=aimle_states)
+
+    n, times = 0, []
+    for p in range(passes + 1):
+        buf = io.StringIO()
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(buf):
+            res = run_token_coo_exp(model=model, state=state, data=data,
+                                    cfg=cfg, split="dev", seed=1000 + p)
+        dt = time.perf_counter() - t0
+        n = res.num_samples
+        if p > 0:                    # pass 0 = compile + warmup
+            times.append(dt)
+    n_chips = max(len(jax.devices()), 1)
+    sec = float(np.median(times))
+    return {
+        "sampler": sampler,
+        "explain_qps_per_chip": n / sec / n_chips,
+        "explain_qps_best": n / float(np.min(times)) / n_chips,
+        "questions": n,
+        "pass_seconds": [round(s, 3) for s in times],
+    }
+
+
+def _first_dev_batch(data):
+    from isubgvqa_tpu.data.batching import iterate_batches
+
+    return iterate_batches(data.datasets["dev"], data.collators["dev"])
 
 
 def bench_train_step(sampler: str, batch_size: int = 256, iters: int = 8,
@@ -656,6 +749,11 @@ def main():
                          "(bucketed iterator + native collate + "
                          "prefetch + transfer + forward); implied by "
                          "--full")
+    ap.add_argument("--explain", action="store_true",
+                    help="also measure the end-to-end explanation "
+                         "pipeline (run_token_coo_exp: forward + "
+                         "device argmax + vectorized host metrics); "
+                         "implied by --full")
     args = ap.parse_args()
 
     head = bench_inference("gumbel", args.batch_size, args.iters,
@@ -682,6 +780,13 @@ def main():
                         node_caps=tuple(args.node_caps),
                         kernel_pack=args.pack)
         print(json.dumps(_round_tree(e2e)), file=sys.stderr)
+
+    expl = None
+    if args.explain or args.full:
+        expl = bench_explain("gumbel", args.batch_size,
+                             node_caps=tuple(args.node_caps),
+                             kernel_pack=args.pack)
+        print(json.dumps(_round_tree(expl)), file=sys.stderr)
 
     if args.full:
         rows = [head]
@@ -710,12 +815,12 @@ def main():
                 train_pack=args.train_pack,
                 multistep=args.train_multistep))
             print(json.dumps(_round_tree(train_rows[-1])), file=sys.stderr)
-        _write_details(rows, train_rows, args, e2e)
+        _write_details(rows, train_rows, args, e2e, expl)
 
     print(json.dumps(result))
 
 
-def _write_details(rows, train_rows, args, e2e=None):
+def _write_details(rows, train_rows, args, e2e=None, expl=None):
     lines = [
         "# Benchmark surface (last `bench.py --full` run)",
         "",
@@ -752,8 +857,10 @@ def _write_details(rows, train_rows, args, e2e=None):
     ]
     for bkey, d in rows[0]["per_bucket"].items():
         tag = " **congested**" if d.get("congested") else ""
+        mfu = (f", {d['tflops_per_sec']} TFLOP/s ({d['mfu']*100:.1f}% MFU)"
+               if "mfu" in d else "")
         lines.append(f"- `{bkey}`: {d['ms_per_batch']} ms/batch, "
-                     f"{d['qps']} q/s, weight {d['weight']}{tag}")
+                     f"{d['qps']} q/s, weight {d['weight']}{mfu}{tag}")
     if e2e is not None:
         lines += [
             "",
@@ -766,6 +873,17 @@ def _write_details(rows, train_rows, args, e2e=None):
             f"{e2e['epoch_seconds']} s) — host collation keeps the "
             "device fed; the gap to the device-only blended number is "
             "tail-batch padding + dispatch pipelining.",
+        ]
+    if expl is not None:
+        lines += [
+            "",
+            "## End-to-end explanation pipeline (run_token_coo_exp: "
+            "forward + device argmax + vectorized host metrics)",
+            "",
+            f"- {expl['explain_qps_per_chip']:.0f} questions/s/chip "
+            f"(best window {expl['explain_qps_best']:.0f}) over "
+            f"{expl['questions']} dev questions "
+            f"(passes: {expl['pass_seconds']} s).",
         ]
     lines += [
         "",

@@ -85,6 +85,8 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--meta_dir", default=d.meta_dir)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
+    p.add_argument("--synthetic_shape_mix", type=str,
+                   default=d.synthetic_shape_mix, choices=["small", "gqa"])
     p.add_argument("--compute_dtype", default=d.compute_dtype)
     p.add_argument("--num_data_shards", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=d.model_parallel,

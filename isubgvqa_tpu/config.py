@@ -26,6 +26,10 @@ class Config:
     num_heads: int = 8                      # isubgvqa.py:130
     gat_heads: int = 4                      # mgat.py:14
     dropout: float = 0.1                    # isubgvqa.py:133
+    # the reference hard-codes these two rates; configurable here so
+    # deterministic trajectory tests can zero them (defaults = parity)
+    head_dropout: float = 0.2               # fusion MLP (isubgvqa.py:206)
+    mask_dropout: float = 0.2               # gate scores (masking.py:159,196)
     mgat_masks: Tuple[float, ...] = (1.0, 1.0, 1.0, 0.15)  # arg_parser.py:95-97
     use_instruction: bool = True            # --use_instruction (:92)
     use_masking: bool = True                # --use_masking (:93)
@@ -77,6 +81,11 @@ class Config:
     bucket_question_lens: Tuple[int, ...] = (16,)
     synthetic: bool = False                 # use the synthetic mini-GQA fixture
     synthetic_size: int = 2048
+    # size distribution of the synthetic fixture: "small" (3-24-node
+    # graphs, the fast CI default) or "gqa" (GQA-realistic lognormal
+    # node counts up to 120 + 30% long questions — what bench.py and
+    # the convergence runs use; data/synthetic.py:SyntheticGQA)
+    synthetic_shape_mix: str = "small"
 
     # ---- training (main.py / arg_parser.py) ----
     batch_size: int = 256                   # --batch-size (:23)

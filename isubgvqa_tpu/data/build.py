@@ -51,15 +51,19 @@ def build_datasets(cfg: Config) -> DataBundle:
                                 vocab_size=cfg.text_vocab_size)
 
     if cfg.synthetic or not _has_real_gqa(cfg):
+        mix = cfg.synthetic_shape_mix
         datasets = {
             "train": SyntheticGQA(vocab, answers, size=cfg.synthetic_size,
-                                  seed=cfg.seed, split="train"),
+                                  seed=cfg.seed, split="train",
+                                  shape_mix=mix),
             "dev": SyntheticGQA(vocab, answers,
                                 size=max(cfg.synthetic_size // 4, 1),
-                                seed=cfg.seed, split="valid"),
+                                seed=cfg.seed, split="valid",
+                                shape_mix=mix),
             "testdev": SyntheticGQA(vocab, answers,
                                     size=max(cfg.synthetic_size // 4, 1),
-                                    seed=cfg.seed, split="testdev"),
+                                    seed=cfg.seed, split="testdev",
+                                    shape_mix=mix),
         }
     else:
         store = SceneGraphStore(vocab, data_dir=cfg.data_dir,

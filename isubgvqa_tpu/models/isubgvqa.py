@@ -136,7 +136,8 @@ class ISubGVQA(nn.Module):
             sampler_type=cfg.sampler_type,
             sample_k=cfg.sample_k, nb_samples=cfg.nb_samples, alpha=cfg.alpha,
             beta=cfg.beta, tau=cfg.tau, use_pallas=cfg.use_pallas,
-            pack=cfg.kernel_pack, dtype=dtype, name="gat_seq",
+            pack=cfg.kernel_pack, mask_dropout=cfg.mask_dropout,
+            dtype=dtype, name="gat_seq",
         )(x_enc, batch, e_enc, instr, lang, train=train,
           aimle_states=aimle_states, explainer=explainer,
           explainer_stage=explainer_stage,
@@ -151,7 +152,7 @@ class ISubGVQA(nn.Module):
         fused = jnp.concatenate([pooled, lang, pooled * lang], axis=1)
         fused = nn.Dense(512, dtype=dtype, name="embedding")(fused)
         fused = nn.gelu(fused, approximate=False)
-        fused = nn.Dropout(0.2)(fused, deterministic=not train)
+        fused = nn.Dropout(cfg.head_dropout)(fused, deterministic=not train)
         logits = nn.Dense(cfg.num_answers, dtype=dtype, name="logit_fc")(fused)
 
         if explainer:                          # isubgvqa.py:294-295

@@ -445,19 +445,26 @@ class MaskedBatchNorm(nn.Module):
             if mask is None:
                 count = jnp.asarray(xf.shape[0], jnp.float32)
                 s1 = jnp.sum(xf, axis=0)
-                s2 = jnp.sum(xf * xf, axis=0)
             else:
                 m = mask.astype(jnp.float32).reshape(-1)[:, None]
                 count = jnp.sum(m)
                 s1 = jnp.sum(xf * m, axis=0)
-                s2 = jnp.sum(xf * xf * m, axis=0)
             if self.axis_name is not None:
                 count = jax.lax.psum(count, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)
-                s2 = jax.lax.psum(s2, self.axis_name)
             count = jnp.maximum(count, 1.0)
             mean = s1 / count
-            var = jnp.maximum(s2 / count - mean * mean, 0.0)
+            # two-pass (centered) variance, NOT E[x²]−mean²: the
+            # one-pass form cancels catastrophically in f32 on
+            # pixel-scale inputs (bbox coords ~0-800 lose ~5 digits),
+            # perturbing every downstream gradient by ~1e-3 relative;
+            # torch's native batch norm is Welford-style (pinned by the
+            # trajectory golden test's first-moment cosine)
+            d = xf - mean
+            sq = jnp.sum(d * d if mask is None else d * d * m, axis=0)
+            if self.axis_name is not None:
+                sq = jax.lax.psum(sq, self.axis_name)
+            var = jnp.maximum(sq / count, 0.0)
             if not self.is_initializing():
                 # torch BatchNorm1d stores the Bessel-corrected
                 # (unbiased) variance in running_var while normalizing

@@ -18,6 +18,19 @@ Sampler configs mirror ``get_imle_samplers`` / ``get_aimle_samplers``
 (``masking.py:214-283``): Gumbel(0, 0.3) noise, train/val variants.
 AIMLE's adaptive state enters explicitly; its update leaves through
 the state input's cotangent.
+
+Documented deviation (same family as the ``.view`` scramble, see
+``models/isubgvqa.py``): in the reference's bilinear path the call
+site passes ``u = imle_att[batch]`` (``mgat_v2_conv.py:166-168``,
+already per-node) and the head then indexes ``self.ques_nn(u)[batch]``
+AGAIN (``masking.py:153``) — so node ``j`` of graph ``g`` is scored
+against the question vector of the graph that contains *node index*
+``g``, a cross-sample scramble whenever the batch holds more than one
+graph (a no-op at batch size 1, the reference's explanation-extraction
+regime).  This rebuild scores every node against its OWN graph's
+question vector — the coherent intent, and the only batch-size-
+invariant choice (any per-sample result would otherwise depend on
+batch composition).
 """
 
 from __future__ import annotations

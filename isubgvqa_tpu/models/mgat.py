@@ -108,6 +108,7 @@ class MGATLayer(nn.Module):
     # trainable conv; each kernel clamps the knob to its per-program
     # VMEM caps
     pack: Union[int, str, None] = None
+    mask_dropout: float = 0.2           # masking.py:159,196
     dtype: Optional[jnp.dtype] = None
 
     def _params(self):
@@ -194,7 +195,7 @@ class MGATLayer(nn.Module):
                 use_topk=self.use_topk, sampler_type=self.sampler_type,
                 sample_k=self.sample_k, nb_samples=self.nb_samples,
                 alpha=self.alpha, beta=self.beta, tau=self.tau,
-                dtype=self.dtype, name="mask",
+                dropout=self.mask_dropout, dtype=self.dtype, name="mask",
             )(xf, imle_att, batch, train=train, aimle_state=aimle_state,
               use_all_instrs=self.use_all_instrs, all_instrs=all_instrs)
             gate = mask
@@ -266,6 +267,7 @@ class MGAT(nn.Module):
     tau: float = 1.0
     use_pallas: bool = True
     pack: Union[int, str, None] = None
+    mask_dropout: float = 0.2           # masking.py:159,196
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -334,6 +336,7 @@ class MGAT(nn.Module):
                 sampler_type=self.sampler_type, sample_k=self.sample_k,
                 nb_samples=self.nb_samples, alpha=self.alpha, beta=self.beta,
                 tau=self.tau, use_pallas=self.use_pallas, pack=self.pack,
+                mask_dropout=self.mask_dropout,
                 dtype=self.dtype, name=f"conv{i}",
             )(hcur, batch, edge_attr, ek[:, i * h * c:(i + 1) * h * c],
               ins, global_language_feats,

@@ -15,7 +15,7 @@ import numpy as np
 
 
 def save_graph(graph, labels: Dict[int, str], path: str, mask,
-               question: str = "", filename: str = "graph.pdf",
+               question: str = "", filename: str = "graph.png",
                mode: str = "discrete", img_id: str = "img",
                q_id: str = "q", threshold: float = 0.0,
                print_title: bool = False) -> Optional[str]:

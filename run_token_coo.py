@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--save_expl", action="store_true")
     p.add_argument("--save_qst_meta_data", action="store_true")
     p.add_argument("--expl_dir", default="./saved_explanations")
+    p.add_argument("--expl_format", default="png", choices=["png", "pdf"],
+                   help="rendered subgraph format (reference saves PNG,"
+                        " utils/graph_vis.py:60-66)")
     p.add_argument("--run", default="run")
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -68,7 +71,7 @@ def main(argv=None):
         model=model, state=state, data=data, cfg=cfg, split=args.split,
         save_expl=args.save_expl, expl_dir=args.expl_dir, run=args.run,
         save_qst_meta_data=args.save_qst_meta_data,
-        max_batches=args.max_batches,
+        max_batches=args.max_batches, expl_format=args.expl_format,
     )
 
 

@@ -56,17 +56,22 @@ def mask_overlap(ours: dict, ref_masks, threshold: float = 0.5) -> dict:
     over the qids both runs saw."""
     import numpy as np
 
-    ious, exact, n = [], [], 0
+    ious, exact, n, size_mismatch = [], [], 0, 0
     for qid, rec in ours.items():
         if qid not in ref_masks:
             continue
         a = np.asarray(rec["mask"]).reshape(-1) > threshold
         b = np.asarray(ref_masks[qid]).reshape(-1) > threshold
-        m = min(a.size, b.size)
         if a.size != b.size:
-            # node-count mismatch (graph translation drift) counts as
-            # disagreement on the tail, not a crash
-            a, b = a[:m], b[:m]
+            # node-count mismatch (graph translation drift): pad the
+            # shorter mask with False so any active node in the tail
+            # counts as disagreement in IoU/exact (never truncate — a
+            # truncated tail could hide active reference nodes and
+            # report perfect agreement exactly when drift occurs)
+            size_mismatch += 1
+            m = max(a.size, b.size)
+            a = np.pad(a, (0, m - a.size))
+            b = np.pad(b, (0, m - b.size))
         union = np.logical_or(a, b).sum()
         ious.append(float(np.logical_and(a, b).sum() / union)
                     if union else 1.0)
@@ -74,11 +79,10 @@ def mask_overlap(ours: dict, ref_masks, threshold: float = 0.5) -> dict:
         n += 1
     if not n:
         return {"mask_iou": float("nan"), "mask_exact": float("nan"),
-                "mask_n": 0}
-    import numpy as np
-
+                "mask_n": 0, "mask_size_mismatch": 0}
     return {"mask_iou": float(np.mean(ious)),
-            "mask_exact": float(np.mean(exact)), "mask_n": n}
+            "mask_exact": float(np.mean(exact)), "mask_n": n,
+            "mask_size_mismatch": size_mismatch}
 
 
 def write_report(out: str, payload: dict) -> None:

@@ -1,6 +1,6 @@
 """Subprocess worker for ``test_multiprocess.py``: drives ONE bucketed
 training epoch + one sharded validation epoch through the real Trainer
-under a genuine 2-process ``jax.distributed`` runtime (CPU, Gloo) —
+under a genuine N-process ``jax.distributed`` runtime (CPU, Gloo) —
 the multi-controller analogue of the reference's ``torchrun`` DDP
 launch (``/root/reference/main.py:72-94``).
 
@@ -45,8 +45,12 @@ def main():
     # runtime; the persistent cache makes reruns near-instant
     enable_compilation_cache()
 
+    # global batch must divide over all 2*nproc CPU devices; 2 per
+    # device keeps the 2-proc shapes identical to prior rounds (warm
+    # compile cache) while 4 procs get batch 8
+    batch = max(4, 2 * nproc)
     cfg = Config(
-        synthetic=True, synthetic_size=64, batch_size=4,
+        synthetic=True, synthetic_size=64, batch_size=batch,
         eval_batch_factor=1, question_len=12, max_nodes_per_graph=32,
         max_edges_per_graph=128, bucket_node_caps=(16, 32),
         bucket_question_lens=(12,), text_vocab_size=512,

@@ -79,6 +79,49 @@ def test_run_token_coo_exp_end_to_end(bundle, capsys):
     assert 0.0 <= res.accuracy <= 1.0
 
 
+def test_fast_metrics_match_oracle():
+    """The vectorized metric path (explain/runner.py:_accumulate_fast)
+    must reproduce the per-sample oracle loop's metric sums exactly —
+    including accuracy-AT and the co-occurrence branches, which need
+    answer strings that actually appear among scene-graph node labels
+    (run_token_coo.py:145-185)."""
+    import numpy as _np
+
+    from isubgvqa_tpu.data.gqa import AnswerMap
+    from isubgvqa_tpu.data.synthetic import SyntheticGQA
+
+    cfg = dataclasses.replace(
+        small_cfg(), synthetic=True, synthetic_size=64, batch_size=4,
+        eval_batch_factor=2, meta_dir="", epochs=0, text_sampling=True)
+    data = build_datasets(cfg)
+    # answers = the vocab's object names, so gt/pred strings occur as
+    # node labels and exercise every metric branch
+    names = [t for t in data.vocab.itos if t.startswith("obj")]
+    l2a = (names + [f"ans{i}" for i in range(cfg.num_answers)])
+    l2a = l2a[:cfg.num_answers]
+    answers = AnswerMap({a: i for i, a in enumerate(l2a)}, l2a)
+    dev = SyntheticGQA(data.vocab, answers, size=64, seed=1, split="valid")
+    data = dataclasses.replace(data, answers=answers,
+                               datasets={**data.datasets, "dev": dev})
+    cfg = dataclasses.replace(cfg, num_answers=len(answers))
+    model = build_model(cfg, data.vocab)
+    trainer = Trainer(cfg, model, data)
+
+    kw = dict(model=model, state=trainer.state, data=data, cfg=cfg,
+              split="dev", seed=5)
+    slow = run_token_coo_exp(**kw, fast_metrics=False)
+    fast = run_token_coo_exp(**kw, fast_metrics=True)
+
+    assert fast.sums.keys() == slow.sums.keys()
+    for k, v in slow.sums.items():
+        assert fast.sums[k] == pytest.approx(v, abs=1e-9), k
+    # the interesting branches must actually have fired
+    assert slow.sums["acc_n"] > 0
+    assert slow.sums["acc_at_n"] > 0, "accuracy-AT branch never exercised"
+    assert slow.sums["qst_n"] > 0, "qst-coo branch never exercised"
+    assert not _np.isnan(fast.accuracy)
+
+
 def test_sharded_explain_recombines():
     """Two explicit shards each see half the dev set; their metric
     sums combine exactly to the unsharded run's (the multi-host

@@ -273,3 +273,47 @@ def test_imle_nb_samples_axis():
     z = imle_topk(jnp.zeros((3, 7)), jax.random.PRNGKey(0), cfg)
     assert z.shape == (5, 3, 7)
     np.testing.assert_allclose(np.asarray(z.sum(-1)), 2.0)
+
+
+def test_gumbel_tpu_mode_saturation_grads_finite(monkeypatch):
+    """The TPU-mode relaxed top-k (sampling/gumbel.py:_bounded_log)
+    must keep gradients finite under saturation — the failure that
+    froze round-5's on-TPU gumbel training: at tau=0.1 a score gap
+    >~1.7 rounds a round's softmax to exactly 1.0, log(1-onehot)'s
+    backward goes inf, and the reference's GradScaler-equivalent skip
+    then freezes every step.  Forward values must stay identical to
+    the CPU/reference path (the backward cutoff is backward-only)."""
+    from isubgvqa_tpu.sampling import gumbel as gmod
+
+    scores = jnp.asarray([[50.0, 30.0, 10.0, -10.0, -30.0, 0.0]])
+    key = jax.random.PRNGKey(3)
+
+    def loss(s, tpu, cfg):
+        monkeypatch.setattr(gmod, "_on_tpu", lambda: tpu)
+        out = gumbel_topk_sample(s, key, cfg, train=True)
+        return jnp.sum(out * jnp.arange(s.shape[-1], dtype=s.dtype))
+
+    # CPU/reference path: saturated gaps produce nonfinite/garbage
+    # gradients (this is the reference's own behavior — its scaler
+    # skips such steps); TPU path must be finite and agree on forward
+    cfg = GumbelSamplerConfig(k=3)            # tau=0.1: saturates
+    v_cpu = loss(scores, False, cfg)
+    v_tpu, g_tpu = jax.value_and_grad(
+        lambda s: loss(s, True, cfg))(scores)
+    np.testing.assert_allclose(np.asarray(v_cpu), np.asarray(v_tpu),
+                               rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(g_tpu)))
+    # the whole relaxation's VJP is clamped elementwise on TPU, so the
+    # k compounded 1/(1-o) factors can never overflow downstream
+    # (sampling/gumbel.py:_GRAD_LIMIT; dy here is O(N), so the clamp
+    # bound scales with it)
+    assert np.max(np.abs(np.asarray(g_tpu))) <= gmod._GRAD_LIMIT * 10
+
+    # benign regime (tau high enough that no round saturates past the
+    # backward floor): gradients bit-identical between the two modes
+    mild_cfg = GumbelSamplerConfig(k=3, tau=5.0)
+    mild = jax.random.normal(jax.random.PRNGKey(1), (2, 8)) * 0.05
+    g_ref = jax.grad(lambda s: loss(s, False, mild_cfg))(mild)
+    g_new = jax.grad(lambda s: loss(s, True, mild_cfg))(mild)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-7)
