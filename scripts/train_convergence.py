@@ -127,10 +127,16 @@ def run_sampler(sampler: str, args) -> dict:
     model = build_model(cfg, data.vocab, bn_axis_name=None)
     trainer = Trainer(cfg, model, data)
 
+    start_epoch = 0
+    rolling = os.path.join(out_dir, "checkpoint")
+    if args.resume and os.path.isdir(rolling):
+        start_epoch, _ = trainer.resume(os.path.abspath(rolling))
+        print(f"[{sampler}] resumed epoch {start_epoch}", flush=True)
+
     t0 = time.time()
     epochs = []
     top_acc, lowest_loss = 0.0, float("inf")
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         te0 = time.time()
         train_loss = trainer.train_epoch(epoch)
         val_acc, val_loss = trainer.validate_epoch(epoch)
@@ -172,6 +178,10 @@ def main():
     p.add_argument("--out", default="TRAINRUN_r05.json")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke testing)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from each sampler's rolling checkpoint "
+                        "when present (per-epoch records then cover only "
+                        "the continued epochs)")
     args = p.parse_args()
 
     import jax
